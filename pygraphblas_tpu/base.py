@@ -1,0 +1,328 @@
+"""Runtime base: global options, error hierarchy, and the index-range
+compiler.
+
+TPU-native re-design of the runtime tier of pygraphblas (reference:
+``pygraphblas/base.py``).  Instead of forwarding options to a C library,
+options live in a Python-side :class:`GlobalConfig` that controls dispatch
+behavior (format switching thresholds, debug "burble" logging, default
+storage orientation) for the JAX/XLA execution engine.
+"""
+
+import sys
+import time
+from dataclasses import dataclass, field
+
+__all__ = [
+    "NULL",
+    "GraphBLASException",
+    "NoValue",
+    "UninitializedObject",
+    "InvalidObject",
+    "NullPointer",
+    "InvalidValue",
+    "InvalidIndex",
+    "DomainMismatch",
+    "DimensionMismatch",
+    "OutputNotEmpty",
+    "OutOfMemory",
+    "InsufficientSpace",
+    "IndexOutOfBound",
+    "Panic",
+    "options_set",
+    "options_get",
+    "GxB_INDEX_MAX",
+    "GxB_IMPLEMENTATION",
+    "GxB_SPEC",
+]
+
+NULL = None
+
+# Maximum logical dimension.  Like the reference (base.py:38) we allow huge
+# logical index spaces; hypersparse storage keeps memory O(nnz).
+GxB_INDEX_MAX = 2**60
+
+# Implementation/spec version tuples for API parity.
+GxB_IMPLEMENTATION = (1, 0, 0)
+GxB_SPEC = (2, 0, 0)
+
+
+# --------------------------------------------------------------------------
+# Error hierarchy (reference: base.py:133-210).  Same names, same meanings;
+# raised by the dispatch layer on pre-trace validation.
+# --------------------------------------------------------------------------
+
+
+class GraphBLASException(Exception):
+    pass
+
+
+class NoValue(GraphBLASException):
+    pass
+
+
+class UninitializedObject(GraphBLASException):
+    pass
+
+
+class InvalidObject(GraphBLASException):
+    pass
+
+
+class NullPointer(GraphBLASException):
+    pass
+
+
+class InvalidValue(GraphBLASException):
+    pass
+
+
+class InvalidIndex(GraphBLASException):
+    pass
+
+
+class DomainMismatch(GraphBLASException):
+    pass
+
+
+class DimensionMismatch(GraphBLASException):
+    pass
+
+
+class OutputNotEmpty(GraphBLASException):
+    pass
+
+
+class OutOfMemory(GraphBLASException):
+    pass
+
+
+class InsufficientSpace(GraphBLASException):
+    pass
+
+
+class IndexOutOfBound(GraphBLASException):
+    pass
+
+
+class Panic(GraphBLASException):
+    pass
+
+
+# --------------------------------------------------------------------------
+# Global configuration.
+#
+# The reference exposes nthreads/chunk/burble/hyper_switch/bitmap_switch/
+# format globals (base.py:49-130).  On TPU, intra-op parallelism is XLA's
+# job, so nthreads/chunk are retained for API parity but only influence
+# kernel block sizing hints.  bitmap_switch/hyper_switch control the
+# bitmap<->sparse format heuristics of the dispatch layer.
+# --------------------------------------------------------------------------
+
+BY_ROW = 0  # CSR-like orientation (GxB_BY_ROW)
+BY_COL = 1  # CSC-like orientation (GxB_BY_COL)
+
+
+@dataclass
+class GlobalConfig:
+    nthreads: int = 0  # 0 = let XLA decide; kept for parity
+    chunk: float = 65536.0  # kernel work-chunk hint
+    burble: int = 0  # dispatch debug logging switch
+    hyper_switch: float = 0.0625  # rows present/nrows ratio to go hypersparse
+    bitmap_switch: list = field(
+        default_factory=lambda: [0.04, 0.05, 0.06, 0.08, 0.10, 0.20, 0.30, 0.40]
+    )
+    format: int = BY_ROW
+    # TPU-specific knobs (no reference counterpart):
+    # max number of logical cells a matrix may have and still be eligible
+    # for the dense bitmap execution path.
+    bitmap_max_cells: int = 1 << 24
+    # capacity growth factor for padded sparse index arrays
+    capacity_factor: float = 1.25
+
+
+config = GlobalConfig()
+
+
+def options_set(
+    nthreads=None,
+    chunk=None,
+    burble=None,
+    hyper_switch=None,
+    bitmap_switch=None,
+    format=None,
+    bitmap_max_cells=None,
+):
+    """Set global library options.
+
+    Mirrors the reference option surface (``base.py:49``); options control
+    the JAX dispatch layer rather than an external C runtime.
+
+    - `nthreads`: parity knob; XLA manages intra-chip parallelism.
+    - `chunk`: kernel work-chunk sizing hint.
+    - `burble`: enable dispatch debug logging.
+    - `hyper_switch`: hypersparsity switching threshold.
+    - `bitmap_switch`: per-density thresholds for bitmap format switching.
+    - `format`: default matrix orientation (BY_ROW or BY_COL).
+    """
+    if nthreads is not None:
+        config.nthreads = int(nthreads)
+    if chunk is not None:
+        config.chunk = float(chunk)
+    if burble is not None:
+        config.burble = int(burble)
+    if hyper_switch is not None:
+        config.hyper_switch = float(hyper_switch)
+    if bitmap_switch is not None:
+        config.bitmap_switch = list(bitmap_switch)
+    if format is not None:
+        config.format = int(format)
+    if bitmap_max_cells is not None:
+        config.bitmap_max_cells = int(bitmap_max_cells)
+
+
+def options_get():
+    """Get global library options.
+
+    >>> from pprint import pprint
+    >>> pprint(options_get())
+    {'bitmap_switch': [...],
+     'burble': ...,
+     'chunk': ...,
+     'format': ...,
+     'hyper_switch': ...,
+     'nthreads': ...}
+    """
+    return dict(
+        nthreads=config.nthreads,
+        chunk=config.chunk,
+        burble=config.burble,
+        hyper_switch=config.hyper_switch,
+        bitmap_switch=list(config.bitmap_switch),
+        format=config.format,
+    )
+
+
+def burble(msg, *args):
+    """Dispatch-layer debug logging, the TPU analog of SuiteSparse burble."""
+    if config.burble:
+        print("[burble %.6f] %s" % (time.time(), msg % args), file=sys.stderr)
+
+
+# --------------------------------------------------------------------------
+# Index-range compiler (reference semantics: base.py:216-250).
+#
+# GraphBLAS slices are *stop-inclusive*.  ``_build_range`` compiles a Python
+# slice / list / None into an IndexSet carrying (kind, params, size) that the
+# gather/scatter kernels consume.  Sizes are resolved against the dimension
+# at dispatch time so kernels always see static shapes.
+# --------------------------------------------------------------------------
+
+_all_slice = slice(None, None, None)
+
+
+class IndexSet:
+    """Compiled index descriptor: one of ALL, LIST, RANGE, STRIDE, BACKWARDS."""
+
+    __slots__ = ("kind", "start", "stop", "step", "list", "size")
+
+    ALL = "all"
+    LIST = "list"
+    RANGE = "range"
+    STRIDE = "stride"
+    BACKWARDS = "backwards"
+
+    def __init__(self, kind, start=None, stop=None, step=None, list_=None, size=None):
+        self.kind = kind
+        self.start = start
+        self.stop = stop
+        self.step = step
+        self.list = list_
+        self.size = size
+
+    def indices(self, dim_size):
+        """Materialize as a host list of indices against a dimension size."""
+        if self.kind == IndexSet.ALL:
+            return list(range(dim_size))
+        if self.kind == IndexSet.LIST:
+            return list(self.list)
+        if self.kind == IndexSet.RANGE:
+            return list(range(self.start, self.stop + 1))
+        if self.kind == IndexSet.STRIDE:
+            return list(range(self.start, self.stop + 1, self.step))
+        if self.kind == IndexSet.BACKWARDS:
+            return list(range(self.start, self.stop - 1, -self.step))
+        raise Panic("unknown index kind")  # pragma: no cover
+
+
+def _build_range(rslice, stop_val):
+    """Compile a Python slice/list into an :class:`IndexSet`.
+
+    Follows GraphBLAS stop-INCLUSIVE slice semantics exactly as the
+    reference does (base.py:216-250): ``A[1:3]`` selects rows 1,2,3.
+    """
+    if isinstance(rslice, list):
+        return IndexSet(IndexSet.LIST, list_=rslice, size=len(rslice))
+
+    if rslice is None or rslice == _all_slice:
+        return IndexSet(IndexSet.ALL, size=None)
+
+    start = rslice.start
+    stop = rslice.stop
+    step = rslice.step
+    if start is None:
+        start = 0
+    if stop is None:
+        stop = stop_val
+    if step is None:
+        size = (stop - start) + 1
+        return IndexSet(IndexSet.RANGE, start=start, stop=stop, size=size)
+    elif step < 0:
+        step = abs(step)
+        if start < stop:
+            size = 0
+        else:
+            size = int((start - stop) / step) + 1
+        return IndexSet(IndexSet.BACKWARDS, start=start, stop=stop, step=step, size=size)
+    else:
+        if start > stop or step == 0:
+            size = 0
+        else:
+            size = int((stop - start) / step) + 1
+        return IndexSet(IndexSet.STRIDE, start=start, stop=stop, step=step, size=size)
+
+
+_SELECT_OP_NAMES = {
+    ">": "GT_THUNK",
+    "<": "LT_THUNK",
+    ">=": "GE_THUNK",
+    "<=": "LE_THUNK",
+    "!=": "NE_THUNK",
+    "==": "EQ_THUNK",
+    ">0": "GT_ZERO",
+    "<0": "LT_ZERO",
+    ">=0": "GE_ZERO",
+    "<=0": "LE_ZERO",
+    "!=0": "NONZERO",
+    "==0": "EQ_ZERO",
+}
+
+
+def _get_select_op(op):
+    from . import selectop as selectop_module
+
+    return getattr(selectop_module, _SELECT_OP_NAMES[op])
+
+
+def _get_bin_op(op, funcs):
+    return {
+        ">": funcs.GT,
+        "<": funcs.LT,
+        ">=": funcs.GE,
+        "<=": funcs.LE,
+        "!=": funcs.NE,
+        "==": funcs.EQ,
+        "+": funcs.PLUS,
+        "-": funcs.MINUS,
+        "*": funcs.TIMES,
+        "/": funcs.DIV,
+    }[op]

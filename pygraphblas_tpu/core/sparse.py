@@ -1,0 +1,70 @@
+"""Device sparse kernels over COO/CSR index arrays.
+
+The compute tier for matrices too large for the dense bitmap path:
+semiring SpMV/SpMSpV via gather + segment-reduce (XLA scatter-reduce on
+TPU), with a Pallas row-based CSR kernel as the optimized path (see
+``core/pallas_spmv.py``).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _segment_reduce(monoid_name, data, segment_ids, num_segments, ident):
+    if monoid_name in ("PLUS", "ANY_SUMMABLE"):
+        return jax.ops.segment_sum(data, segment_ids, num_segments)
+    if monoid_name == "MIN":
+        return jax.ops.segment_min(data, segment_ids, num_segments)
+    if monoid_name in ("MAX", "ANY"):
+        return jax.ops.segment_max(data, segment_ids, num_segments)
+    if monoid_name == "TIMES":
+        return jax.ops.segment_prod(data, segment_ids, num_segments)
+    if monoid_name in ("LOR",):
+        return jax.ops.segment_max(data.astype(jnp.int8), segment_ids,
+                                   num_segments) > 0
+    if monoid_name in ("LAND",):
+        return jax.ops.segment_min(data.astype(jnp.int8), segment_ids,
+                                   num_segments) > 0
+    if monoid_name in ("LXOR",):
+        return (jax.ops.segment_sum(data.astype(jnp.int32), segment_ids,
+                                    num_segments) % 2) == 1
+    raise NotImplementedError(f"segment reduce for monoid {monoid_name}")
+
+
+@partial(jax.jit, static_argnames=("semiring", "out_dtype", "out_size"))
+def coo_spmv(ids_out, ids_in, vals, x_vals, x_mask, semiring, out_dtype,
+             out_size):
+    """Generalized semiring SpMV over COO triples.
+
+    y[i] = add-reduce over entries e with ids_out[e]==i of
+           mul(vals[e], x[ids_in[e]]), restricted to present x entries.
+
+    Returns a dense (vals, mask) pair of size `out_size`.
+    """
+    out_dtype = np.dtype(out_dtype)
+    add = semiring.add_monoid.binaryop.op
+    mul = semiring.mul_op
+    xg = x_vals[ids_in]
+    present = x_mask[ids_in]
+    if mul.positional:
+        pos = dict(i0=ids_out, j0=ids_in, i1=ids_in, j1=jnp.zeros_like(ids_in))
+        prod = mul.apply(None, None, pos).astype(out_dtype)
+    else:
+        prod = mul.apply(vals.astype(out_dtype), xg.astype(out_dtype))
+    ident = jnp.asarray(semiring.add_monoid.identity(out_dtype))
+    # route absent entries to a scratch segment so they don't contribute
+    seg = jnp.where(present, ids_out, out_size)
+    if add in ("MIN", "MAX", "TIMES", "LAND"):
+        data = jnp.where(present, prod, ident)
+    else:
+        data = jnp.where(present, prod,
+                         jnp.zeros_like(prod) if prod.dtype != jnp.bool_
+                         else jnp.zeros_like(prod))
+    y = _segment_reduce(add, data, seg, out_size + 1, ident)[:-1]
+    cnt = jax.ops.segment_sum(present.astype(jnp.int32), seg, out_size + 1)
+    y_mask = cnt[:-1] > 0
+    y = jnp.where(y_mask, y.astype(out_dtype), jnp.zeros((), out_dtype))
+    return y, y_mask

@@ -1,0 +1,1209 @@
+"""The GraphBLAS Vector container, TPU-native.
+
+1-D counterpart of :class:`~.matrix.Matrix` (reference surface:
+``pygraphblas/vector.py``).  Vectors are bitmap-format device arrays
+``(vals, mask)`` whenever the size fits the dense budget; huge logical
+sizes (up to ``GxB_INDEX_MAX``) fall back to host-staged sorted COO.
+"""
+
+import operator
+import random as _stdlib_random
+import types as _pytypes
+from array import array
+from functools import partial
+
+import numpy as np
+import jax.numpy as jnp
+
+from .base import (
+    NULL,
+    GxB_INDEX_MAX,
+    NoValue,
+    DimensionMismatch,
+    InsufficientSpace,
+    InvalidValue,
+    InvalidIndex,
+    _build_range,
+    _get_bin_op,
+    _get_select_op,
+    config,
+)
+from . import types
+from .types import promote, _gb_from_type, _type_from_value
+from .binaryop import BinaryOp, current_accum, current_binop
+from .monoid import Monoid, current_monoid
+from .semiring import Semiring, current_semiring
+from .selectop import SelectOp, DEFAULT_THUNKS
+from .descriptor import Descriptor, Default, T0, T1, current_desc
+from .scalar import Scalar
+from .core import dense as dk
+from .core import coosparse as ck
+
+__all__ = ["Vector"]
+
+
+def _is_scalar(x):
+    return isinstance(x, (bool, int, float, complex, np.generic))
+
+
+class Vector:
+    """GraphBLAS Vector.
+
+    >>> v = Vector.from_lists([0, 1, 2], [1, 2, 3])
+    >>> print(v)
+    0| 1
+    1| 2
+    2| 3
+    """
+
+    __slots__ = (
+        "type",
+        "_size",
+        "_fmt",
+        "_vals",
+        "_mask",
+        "_idx_h",
+        "_vals_h",
+        "_pending",
+        "_nvals_c",
+        "_host_c",
+    )
+
+    def __init__(self, typ, size, fmt=None):
+        self.type = typ
+        self._size = int(size)
+        self._pending = []
+        self._nvals_c = None
+        self._host_c = None
+        if fmt is None:
+            fmt = "bitmap" if self._fits_bitmap(size) else "coo"
+        self._fmt = fmt
+        if fmt == "bitmap":
+            self._vals = jnp.zeros((self._size,), typ._jnp_dtype())
+            self._mask = jnp.zeros((self._size,), jnp.bool_)
+            self._idx_h = self._vals_h = None
+        else:
+            self._vals = self._mask = None
+            self._idx_h = np.empty(0, np.int64)
+            self._vals_h = np.empty(0, typ._numpy_t)
+
+    @staticmethod
+    def _fits_bitmap(size):
+        return size <= config.bitmap_max_cells
+
+    # ------------------------------------------------------------------
+    # constructors
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def sparse(cls, typ, size=None, fill=None, mask=None):
+        """Create an empty sparse Vector (unbounded size defaults to
+        GxB_INDEX_MAX).
+
+        >>> v = Vector.sparse(types.INT64, 3)
+        >>> v.size
+        3
+        """
+        if size is None:
+            size = GxB_INDEX_MAX
+        v = cls(typ, size)
+        if fill is not None and mask is not None:
+            v.assign_scalar(fill, mask=mask)
+        return v
+
+    @classmethod
+    def dense(cls, typ, size=None, fill=None):
+        """Create a dense Vector: all elements present.
+
+        >>> print(Vector.dense(types.INT64, 3, fill=7))
+        0| 7
+        1| 7
+        2| 7
+        """
+        if size is None:
+            size = GxB_INDEX_MAX
+        if not cls._fits_bitmap(size):
+            raise InsufficientSpace("dense vector too large")
+        v = cls(typ, size, fmt="bitmap")
+        fillv = typ.default_zero if fill is None else fill
+        v._vals = jnp.full((v._size,), typ._coerce(fillv), typ._jnp_dtype())
+        v._mask = jnp.ones((v._size,), jnp.bool_)
+        v._invalidate()
+        return v
+
+    @classmethod
+    def iso(cls, value, size=GxB_INDEX_MAX):
+        """Dense Vector of one repeated value; type inferred.
+
+        >>> print(Vector.iso(3, 2))
+        0| 3
+        1| 3
+        """
+        typ = _type_from_value(value)
+        return cls.dense(typ, size, fill=value)
+
+    @classmethod
+    def from_lists(cls, I, V=None, size=None, typ=None):
+        """Create from index and value lists.
+
+        >>> print(Vector.from_lists([0, 2], [1, 2]))
+        0| 1
+        1|
+        2| 2
+        """
+        if V is None:
+            V = [True] * len(I)
+            typ = types.BOOL if typ is None else typ
+        if len(I) != len(V):
+            raise InvalidValue("index and value lists must be the same length")
+        if size is None:
+            size = max(I) + 1
+        if typ is None:
+            typ = _type_from_value(V[0])
+        v = cls.sparse(typ, size)
+        v._build(np.asarray(I), np.asarray(V))
+        return v
+
+    @classmethod
+    def from_list(cls, I):
+        """Create a dense vector from a list of values.
+
+        >>> print(Vector.from_list([1, 2, 3]))
+        0| 1
+        1| 2
+        2| 3
+        """
+        size = len(I)
+        assert size > 0
+        typ = _gb_from_type(type(I[0]))
+        v = cls.sparse(typ, size)
+        v._build(np.arange(size, dtype=np.int64), np.asarray(I))
+        return v
+
+    @classmethod
+    def from_1_to_n(cls, n):
+        """Vector of values 1..n.
+
+        >>> v = Vector.from_1_to_n(3)
+        >>> print(v)
+        0| 1
+        1| 2
+        2| 3
+        """
+        v = cls.sparse(types.INT64, n)
+        v._build(np.arange(n, dtype=np.int64),
+                 np.arange(1, n + 1, dtype=np.int64))
+        return v
+
+    @classmethod
+    def random(cls, typ, nvals, size=GxB_INDEX_MAX, make_pattern=False,
+               seed=None):
+        """Random vector (same stdlib-random draw order as the reference,
+        vector.py:289-328)."""
+        from .matrix import _random_value_fn
+
+        V = cls.sparse(typ, size)
+        if seed is not None:
+            _stdlib_random.seed(seed)
+        if V.size == 0:
+            nvals = 0
+        f = _random_value_fn(typ)
+        for _ in range(nvals):
+            i = _stdlib_random.randint(0, V.size - 1)
+            V[i] = typ.default_one if make_pattern else f()
+        return V
+
+    @classmethod
+    def from_numpy(cls, arr):
+        """Dense vector from a 1-D numpy array."""
+        arr = np.asarray(arr)
+        typ = types.MetaType._dtype_type_map[arr.dtype.type]
+        v = cls.sparse(typ, arr.shape[0])
+        v._build(np.arange(arr.shape[0], dtype=np.int64), arr)
+        return v
+
+    # ------------------------------------------------------------------
+    # internal plumbing (mirrors Matrix)
+    # ------------------------------------------------------------------
+
+    def _invalidate(self):
+        self._nvals_c = None
+        self._host_c = None
+
+    def _build(self, I, V):
+        if len(I) and I.max() >= self._size:
+            raise DimensionMismatch("index out of bounds in build")
+        i, _, v = ck.build(I, np.zeros_like(np.asarray(I)), V,
+                           self.type._numpy_t)
+        if self._fmt == "bitmap":
+            self._vals = self._vals.at[i].set(jnp.asarray(v))
+            self._mask = self._mask.at[i].set(True)
+        else:
+            self._idx_h, self._vals_h = i, v
+        self._invalidate()
+
+    def _flush(self):
+        if not self._pending:
+            return
+        pend = self._pending
+        self._pending = []
+        I = np.asarray([p[0] for p in pend], np.int64)
+        V = np.asarray([p[1] for p in pend], self.type._numpy_t)
+        I2, _, V2 = ck.build(I, np.zeros_like(I), V, self.type._numpy_t)
+        if self._fmt == "bitmap":
+            self._vals = self._vals.at[I2].set(jnp.asarray(V2))
+            self._mask = self._mask.at[I2].set(True)
+        else:
+            merged_i, _, merged_v = ck.merge_pending(
+                self._idx_h, np.zeros_like(self._idx_h), self._vals_h,
+                I2, np.zeros_like(I2), V2, self.type._numpy_t)
+            self._idx_h, self._vals_h = merged_i, merged_v
+        self._invalidate()
+
+    def _dense_pair(self, transpose=False):
+        self._flush()
+        if self._fmt == "bitmap":
+            return self._vals, self._mask
+        if not self._fits_bitmap(self._size):
+            raise InsufficientSpace("vector too large for dense path")
+        v = jnp.zeros((self._size,), self.type._jnp_dtype())
+        m = jnp.zeros((self._size,), jnp.bool_)
+        if self._idx_h.size:
+            v = v.at[self._idx_h].set(jnp.asarray(self._vals_h))
+            m = m.at[self._idx_h].set(True)
+        return v, m
+
+    def _set_dense(self, vals, mask):
+        self._fmt = "bitmap"
+        self._idx_h = self._vals_h = None
+        self._vals = vals
+        self._mask = mask
+        self._invalidate()
+
+    def _host_pair(self):
+        self._flush()
+        if self._host_c is None:
+            v, m = self._dense_pair()
+            self._host_c = (np.asarray(v), np.asarray(m))
+        return self._host_c
+
+    def _coo(self):
+        self._flush()
+        if self._fmt == "coo":
+            return self._idx_h, self._vals_h
+        v, m = self._host_pair()
+        i = np.nonzero(m)[0]
+        return i.astype(np.int64), v[i]
+
+    def _writeback(self, out, t_vals, t_mask, mask, accum, desc):
+        if mask is not None:
+            mv, mm = mask._dense_pair()
+            if mv.shape != t_vals.shape:
+                raise DimensionMismatch("mask size does not match output")
+        else:
+            mv = mm = None
+        c_vals, c_mask = out._dense_pair()
+        if c_vals.shape != t_vals.shape:
+            raise DimensionMismatch("output size mismatch")
+        nv, nm = dk.writeback(
+            c_vals, c_mask, t_vals, t_mask, mv, mm,
+            accum=accum, complement=desc.complement,
+            structural=desc.structural, replace=desc.replace)
+        out._set_dense(nv, nm)
+        return out
+
+    def _get_args(self, mask=None, accum=None, desc=None):
+        if accum is None:
+            accum = current_accum.get(None)
+        if accum is not None:
+            accum = accum.get_op() if hasattr(accum, "get_op") else accum
+        if desc is None:
+            desc = current_desc.get(None)
+        if desc is None:
+            desc = Default
+        return mask, accum, desc
+
+    # ------------------------------------------------------------------
+    # properties
+    # ------------------------------------------------------------------
+
+    @property
+    def size(self):
+        """Size of the vector.
+
+        >>> Vector.from_list([1, 2, 3]).size
+        3
+        """
+        return self._size
+
+    @property
+    def shape(self):
+        """Tuple of (size,)."""
+        return (self._size,)
+
+    @property
+    def nvals(self):
+        """Number of stored elements.
+
+        >>> Vector.from_lists([0, 2], [1, 2]).nvals
+        2
+        """
+        self._flush()
+        if self._nvals_c is None:
+            if self._fmt == "coo":
+                self._nvals_c = int(self._idx_h.size)
+            else:
+                self._nvals_c = int(jnp.sum(self._mask))
+        return self._nvals_c
+
+    @property
+    def memory_usage(self):
+        self._flush()
+        if self._fmt == "coo":
+            return self._idx_h.nbytes + self._vals_h.nbytes
+        return self._vals.nbytes + self._mask.nbytes
+
+    @property
+    def gb_type(self):
+        """The GraphBLAS type object of the Vector."""
+        return self.type
+
+    @property
+    def indices(self):
+        """Array of indices of stored elements.
+
+        >>> list(Vector.from_lists([0, 2], [1, 2]).indices)
+        [0, 2]
+        """
+        return array("L", map(int, self._coo()[0]))
+
+    @property
+    def I(self):
+        """Iterator over `Vector.indices`."""
+        return iter(self.indices)
+
+    @property
+    def npI(self):
+        """numpy array of indices."""
+        return self._coo()[0].astype(np.uint64)
+
+    @property
+    def vals(self):
+        """Array of stored values."""
+        v = self._coo()[1]
+        if self.type._typecode is None:
+            return list(map(self.type._to_value, v))
+        return array(self.type._typecode, map(self.type._to_value, v))
+
+    @property
+    def V(self):
+        """Iterator over `Vector.vals`."""
+        return iter(self.vals)
+
+    @property
+    def npV(self):
+        """numpy array of stored values."""
+        return np.asarray(self._coo()[1])
+
+    def pattern(self, typ=types.BOOL):
+        """BOOL pattern vector of stored elements.
+
+        >>> print(Vector.from_lists([0, 2], [1, 2]).pattern())
+        0| t
+        1|
+        2| t
+        """
+        out = Vector.sparse(typ, self.size)
+        return self.apply(typ.ONE, out=out)
+
+    @property
+    def S(self):
+        """The vector structure; same as `Vector.pattern()`."""
+        return self.pattern()
+
+    # ------------------------------------------------------------------
+    # lifecycle / element access
+    # ------------------------------------------------------------------
+
+    def dup(self):
+        """Duplicate this Vector.
+
+        >>> v = Vector.from_list([1, 2])
+        >>> v.dup().iseq(v)
+        True
+        """
+        out = Vector.sparse(self.type, self._size)
+        self._flush()
+        if self._fmt == "bitmap":
+            out._set_dense(self._vals, self._mask)
+        else:
+            out._idx_h = self._idx_h.copy()
+            out._vals_h = self._vals_h.copy()
+            out._invalidate()
+        return out
+
+    def clear(self):
+        """Remove all elements."""
+        self._pending = []
+        if self._fmt == "bitmap":
+            self._vals = jnp.zeros_like(self._vals)
+            self._mask = jnp.zeros_like(self._mask)
+        else:
+            self._idx_h = np.empty(0, np.int64)
+            self._vals_h = np.empty(0, self.type._numpy_t)
+        self._invalidate()
+
+    def resize(self, size=GxB_INDEX_MAX):
+        """Resize; values beyond the new size are dropped.
+
+        >>> v = Vector.from_list([1, 2, 3])
+        >>> v.resize(10)
+        >>> v.size
+        10
+        """
+        i, v = self._coo()
+        keep = i < size
+        self._size = int(size)
+        self._fmt = "bitmap" if self._fits_bitmap(size) else "coo"
+        if self._fmt == "bitmap":
+            self._vals = jnp.zeros((self._size,), self.type._jnp_dtype())
+            self._mask = jnp.zeros((self._size,), jnp.bool_)
+            self._idx_h = self._vals_h = None
+        else:
+            self._vals = self._mask = None
+        self._invalidate()
+        self._build(i[keep], v[keep])
+
+    def wait(self):
+        """Complete all pending work on this Vector."""
+        self._flush()
+        if self._fmt == "bitmap":
+            self._vals.block_until_ready()
+
+    def __setitem__(self, index, value):
+        if isinstance(index, int):
+            if not 0 <= index < self._size:
+                raise InvalidIndex("index out of bounds")
+            self._pending.append((index, self.type._coerce(value)))
+            self._invalidate()
+            return
+        if isinstance(index, slice):
+            if isinstance(value, Vector):
+                return self.assign(value, index)
+            return self.assign_scalar(value, index)
+        if isinstance(index, Vector):
+            if isinstance(value, Vector):
+                return self.assign(value, mask=index)
+            return self.assign_scalar(value, mask=index)
+        if isinstance(index, list):
+            if isinstance(value, Vector):
+                return self.assign(value, index)
+            return self.assign_scalar(value, index)
+        raise TypeError
+
+    def __getitem__(self, index):
+        if isinstance(index, int):
+            return self.extract_element(index)
+        return self.extract(index)
+
+    def __delitem__(self, index):
+        if not isinstance(index, int):
+            raise TypeError("only single element removal supported")
+        self._flush()
+        if self._fmt == "coo":
+            self._idx_h, _, self._vals_h, _ = ck.remove(
+                self._idx_h, np.zeros_like(self._idx_h), self._vals_h,
+                index, 0)
+        else:
+            self._mask = self._mask.at[index].set(False)
+            self._vals = self._vals.at[index].set(0)
+        self._invalidate()
+
+    def __contains__(self, index):
+        try:
+            self[index]
+            return True
+        except NoValue:
+            return False
+
+    def get(self, i, default=None):
+        """Element at i or `default`.
+
+        >>> Vector.from_lists([0], [42], 2).get(1, 'foo')
+        'foo'
+        """
+        try:
+            return self[i]
+        except NoValue:
+            return default
+
+    def extract_element(self, index):
+        """Extract a single element; raises NoValue if absent."""
+        if not 0 <= index < self._size:
+            raise InvalidIndex("index out of bounds")
+        self._flush()
+        if self._fmt == "coo":
+            pos = ck.find(self._idx_h, np.zeros_like(self._idx_h), index, 0)
+            if pos < 0:
+                raise NoValue
+            return self.type._to_value(self._vals_h[pos])
+        v, m = self._host_pair()
+        if not m[index]:
+            raise NoValue
+        return self.type._to_value(v[index])
+
+    def extract(self, index, mask=None, accum=None, desc=None):
+        """Extract a sub-vector by slice or index list.
+
+        >>> v = Vector.from_list([1, 2, 3])
+        >>> print(v.extract(slice(1, 2)))
+        0| 2
+        1| 3
+        """
+        mask, accum, desc = self._get_args(mask, accum, desc)
+        iset = _build_range(index if not isinstance(index, int)
+                            else slice(index, index), self._size - 1)
+        I = np.asarray(iset.indices(self._size), np.int64)
+        out = Vector.sparse(self.type, len(I))
+        v, m = self._dense_pair()
+        idx = jnp.asarray(I)
+        return out._writeback(out, v[idx], m[idx], mask, accum, desc)
+
+    def __iter__(self):
+        """Iterate (index, value) pairs.
+
+        >>> list(iter(Vector.from_lists([0, 2], [1, 2])))
+        [(0, 1), (2, 2)]
+        """
+        i, v = self._coo()
+        return zip(map(int, i), map(self.type._to_value, v))
+
+    def to_lists(self):
+        """Return [indices, values] lists.
+
+        >>> Vector.from_lists([0, 2], [1, 2]).to_lists()
+        [[0, 2], [1, 2]]
+        """
+        i, v = self._coo()
+        return [list(map(int, i)), list(map(self.type._to_value, v))]
+
+    def to_arrays(self):
+        """Return (indices, values) as stdlib arrays.
+
+        >>> Vector.from_lists([0, 2], [1, 2]).to_arrays()
+        (array('L', [0, 2]), array('q', [1, 2]))
+        """
+        if self.type._typecode is None:
+            raise TypeError("This vector has no array typecode.")
+        i, v = self._coo()
+        return (array("L", map(int, i)),
+                array(self.type._typecode, map(self.type._to_value, v)))
+
+    def to_numpy(self):
+        """Dense numpy copy."""
+        v, m = self._host_pair()
+        return np.where(m, v, np.zeros((), v.dtype))
+
+    # ------------------------------------------------------------------
+    # rendering
+    # ------------------------------------------------------------------
+
+    def to_string(self, format_string="{:>%s}", width=2, prec=3,
+                  empty_char=""):
+        """String rendering (same layout as reference vector.py:1595).
+
+        >>> Vector.from_lists([0, 2], [1, 2]).to_string()
+        '0| 1\\n1|\\n2| 2'
+        """
+        format_string = format_string % width
+        result = ""
+        for row in range(self.size):
+            value = self.get(row, empty_char)
+            result += str(row) + "|"
+            result += format_string.format(
+                self.type.format_value(value, width, prec)).rstrip()
+            if row < self.size - 1:
+                result += "\n"
+        return result
+
+    def __str__(self):
+        return self.to_string()
+
+    def __repr__(self):
+        tname = self.type.__name__
+        if self._size == GxB_INDEX_MAX:
+            return f"<Vector({tname}, nvals: {self.nvals})>"
+        return f"<Vector({tname} size: {self.size}, nvals: {self.nvals})>"
+
+    def print(self, level=2, name="v", f=None):  # pragma: no cover
+        import sys
+
+        f = f or sys.stdout
+        print(f"GraphBLAS Vector {name}: {self.type.__name__} "
+              f"size={self.size} nvals={self.nvals}", file=f)
+        if level >= 3:
+            print(self.to_string(), file=f)
+
+    # ------------------------------------------------------------------
+    # element-wise / apply / select
+    # ------------------------------------------------------------------
+
+    def _resolve_eop(self, op, for_eadd):
+        if op is None:
+            op = current_binop.get(None)
+            if op is None:
+                op = current_monoid.get(None)
+        if isinstance(op, str):
+            op = _get_bin_op(op, self.type)
+        if isinstance(op, Semiring):
+            op = op.add_monoid.binaryop if for_eadd else op.mul_op
+        if isinstance(op, Monoid):
+            op = op.binaryop
+        return op
+
+    def eadd(self, other, add_op=None, cast=None, out=None, mask=None,
+             accum=None, desc=None):
+        """Element-wise union.
+
+        >>> u = Vector.from_lists([0, 1], [1, 2], 3)
+        >>> v = Vector.from_lists([1, 2], [10, 20], 3)
+        >>> print(u.eadd(v))
+        0| 1
+        1|12
+        2|20
+        """
+        add_op = self._resolve_eop(add_op, True)
+        mask, accum, desc = self._get_args(mask, accum, desc)
+        if out is None:
+            typ = cast or promote(self.type, other.type)
+            out = Vector.sparse(typ, self.size)
+        if add_op is None:
+            add_op = out.type._default_addop()
+        av, am = self._dense_pair()
+        bv, bm = other._dense_pair()
+        if av.shape != bv.shape:
+            raise DimensionMismatch("eadd size mismatch")
+        tv, tm = dk.eadd(av, am, bv, bm, add_op, out.type._jnp_dtype())
+        return self._writeback(out, tv, tm, mask, accum, desc)
+
+    union = eadd
+
+    def emult(self, other, mult_op=None, cast=None, out=None, mask=None,
+              accum=None, desc=None):
+        """Element-wise intersection.
+
+        >>> u = Vector.from_lists([0, 1], [1, 2], 3)
+        >>> v = Vector.from_lists([1, 2], [10, 20], 3)
+        >>> print(u.emult(v))
+        0|
+        1|20
+        2|
+        """
+        mult_op = self._resolve_eop(mult_op, False)
+        mask, accum, desc = self._get_args(mask, accum, desc)
+        if out is None:
+            typ = cast or promote(self.type, other.type)
+            out = Vector.sparse(typ, self.size)
+        if mult_op is None:
+            mult_op = out.type._default_multop()
+        av, am = self._dense_pair()
+        bv, bm = other._dense_pair()
+        if av.shape != bv.shape:
+            raise DimensionMismatch("emult size mismatch")
+        ztype = mult_op.ztype(self.type)
+        tv, tm = dk.emult(av, am, bv, bm, mult_op, ztype._jnp_dtype())
+        return self._writeback(out, tv, tm, mask, accum, desc)
+
+    intersection = emult
+
+    def all(self, other, op):
+        """True iff same size/pattern and op holds for all matched values."""
+        if self.size != other.size:
+            return False
+        if self.nvals != other.nvals:
+            return False
+        C = self.emult(other, op, cast=types.BOOL)
+        if C.nvals != self.nvals:
+            return False
+        return C.reduce_bool(types.BOOL.LAND_MONOID)
+
+    def iseq(self, other, eq_op=None):
+        """True iff structurally and numerically equal.
+
+        >>> v = Vector.from_list([1, 2])
+        >>> v.iseq(v.dup())
+        True
+        """
+        if eq_op is None:
+            if self.type != other.type:
+                return False
+            eq_op = self.type.EQ
+        return self.all(other, eq_op)
+
+    def isne(self, other):
+        """Not `iseq`."""
+        return not self.iseq(other)
+
+    def apply(self, op, out=None, mask=None, accum=None, desc=None):
+        """Apply a unary operator to every element.
+
+        >>> print(Vector.from_list([-1, 2]).apply(types.INT64.AINV))
+        0| 1
+        1|-2
+        """
+        if isinstance(op, _pytypes.FunctionType):
+            from .unaryop import UnaryOp
+
+            op = UnaryOp(op.__name__, self.type.__name__, fn=op, attach=False)
+        mask, accum, desc = self._get_args(mask, accum, desc)
+        ztype = op.ztype(self.type)
+        if out is None:
+            out = Vector.sparse(ztype, self.size)
+        v, m = self._dense_pair()
+        tv, tm = dk.apply_unary(v, m, op, ztype._jnp_dtype())
+        return self._writeback(out, tv, tm, mask, accum, desc)
+
+    def apply_first(self, first, op, out=None, mask=None, accum=None,
+                    desc=None):
+        """Binary op with bound first scalar operand.
+
+        >>> print(Vector.from_list([1, 2]).apply_first(10, types.INT64.MINUS))
+        0| 9
+        1| 8
+        """
+        mask, accum, desc = self._get_args(mask, accum, desc)
+        if isinstance(first, Scalar):
+            first = first[0]
+        ztype = op.ztype(self.type)
+        if out is None:
+            out = Vector.sparse(ztype, self.size)
+        v, m = self._dense_pair()
+        tv, tm = dk.apply_binary_bound(v, m, self.type._coerce(first), op,
+                                       ztype._jnp_dtype(), True)
+        return self._writeback(out, tv, tm, mask, accum, desc)
+
+    def apply_second(self, op, second, out=None, mask=None, accum=None,
+                     desc=None):
+        """Binary op with bound second scalar operand.
+
+        >>> print(Vector.from_list([1, 2]).apply_second(types.INT64.MINUS, 10))
+        0|-9
+        1|-8
+        """
+        mask, accum, desc = self._get_args(mask, accum, desc)
+        if isinstance(second, Scalar):
+            second = second[0]
+        ztype = op.ztype(self.type)
+        if out is None:
+            out = Vector.sparse(ztype, self.size)
+        v, m = self._dense_pair()
+        tv, tm = dk.apply_binary_bound(v, m, self.type._coerce(second), op,
+                                       ztype._jnp_dtype(), False)
+        return self._writeback(out, tv, tm, mask, accum, desc)
+
+    def select(self, op, thunk=None, out=None, mask=None, accum=None,
+               desc=None):
+        """Select elements matching a predicate (same string table as
+        `Matrix.select`).
+
+        >>> v = Vector.from_lists([0, 1, 2], [-1, 0, 1])
+        >>> print(v.select('>0'))
+        0|
+        1|
+        2| 1
+        """
+        if out is None:
+            out = Vector.sparse(self.type, self.size)
+        if isinstance(op, str):
+            if op == "min":
+                thunk = self.reduce_float(self.type.min_monoid)
+                op = _get_select_op("==")
+            elif op == "max":
+                thunk = self.reduce_float(self.type.max_monoid)
+                op = _get_select_op("==")
+            else:
+                op = _get_select_op(op)
+        elif isinstance(op, _pytypes.FunctionType):
+            op = SelectOp(op.__name__, op, needs_thunk=True)
+        if isinstance(thunk, Scalar):
+            thunk = thunk[0]
+        if thunk is None:
+            thunk = DEFAULT_THUNKS.get(op.name) or 0
+        mask, accum, desc = self._get_args(mask, accum, desc)
+        v, m = self._dense_pair()
+        tv, tm = dk.select(v, m, self.type._coerce(thunk), op)
+        return self._writeback(out, tv, tm, mask, accum, desc)
+
+    def nonzero(self):
+        """Select the non-zero entries."""
+        from . import selectop
+
+        return self.select(selectop.NONZERO)
+
+    # ------------------------------------------------------------------
+    # reductions
+    # ------------------------------------------------------------------
+
+    def reduce(self, mon=None, accum=None, desc=None):
+        """Type-generic reduce to a scalar of this vector's type.
+
+        >>> Vector.from_list([1, 2, 3]).reduce()
+        6
+        """
+        if mon is None:
+            mon = current_monoid.get(None)
+            if mon is None:
+                mon = getattr(self.type,
+                              self.type._default_addop().op + "_MONOID")
+        v, m = self._dense_pair()
+        return self.type._to_value(
+            np.asarray(dk.reduce_all(v, m, mon)).astype(self.type._numpy_t))
+
+    def reduce_bool(self, mon=None, mask=None, accum=None, desc=None):
+        """Reduce to a bool (default LOR monoid).
+
+        >>> Vector.from_list([False, True]).reduce_bool()
+        True
+        """
+        if mon is None:
+            mon = current_monoid.get(None) or types.BOOL.LOR_MONOID
+        v, m = self._dense_pair()
+        return bool(dk.reduce_all(
+            v if v.dtype == jnp.bool_ else v.astype(jnp.bool_), m, mon))
+
+    def reduce_int(self, mon=None, mask=None, accum=None, desc=None):
+        """Reduce to an int (default PLUS monoid).
+
+        >>> Vector.from_list([1, 2, 3]).reduce_int()
+        6
+        """
+        if mon is None:
+            mon = current_monoid.get(None) or types.INT64.PLUS_MONOID
+        v, m = self._dense_pair()
+        return int(dk.reduce_all(v.astype(jnp.int64), m, mon))
+
+    def reduce_float(self, mon=None, mask=None, accum=None, desc=None):
+        """Reduce to a float (default PLUS monoid).
+
+        >>> Vector.from_list([1.5, 2.5]).reduce_float()
+        4.0
+        """
+        if mon is None:
+            mon = current_monoid.get(None) or self.type.PLUS_MONOID
+        v, m = self._dense_pair()
+        return float(dk.reduce_all(v.astype(jnp.float64), m, mon))
+
+    def max(self):
+        """Maximum stored value.
+
+        >>> Vector.from_lists([0, 1, 2], [-42, 0, 149]).max()
+        149
+        """
+        if self.type == types.BOOL:
+            return self.reduce_bool(self.type.LOR_MONOID)
+        if self.type in types._int_types:
+            return self.reduce_int(self.type.MAX_MONOID)
+        if self.type in types._float_types:
+            return self.reduce_float(self.type.MAX_MONOID)
+        raise TypeError("Un-maxable type")
+
+    def min(self):
+        """Minimum stored value.
+
+        >>> Vector.from_lists([0, 1, 2], [-42, 0, 149]).min()
+        -42
+        """
+        if self.type == types.BOOL:
+            return self.reduce_bool(self.type.LAND_MONOID)
+        if self.type in types._int_types:
+            return self.reduce_int(self.type.MIN_MONOID)
+        if self.type in types._float_types:
+            return self.reduce_float(self.type.MIN_MONOID)
+        raise TypeError("Un-minable type")
+
+    # ------------------------------------------------------------------
+    # vxm
+    # ------------------------------------------------------------------
+
+    def vxm(self, other, semiring=None, cast=None, out=None, mask=None,
+            accum=None, desc=None):
+        """Vector-matrix multiply ("on the left").
+
+        >>> from .matrix import Matrix
+        >>> M = Matrix.from_lists([0, 1, 2], [1, 2, 0], [1, 2, 3])
+        >>> v = Vector.from_lists([0, 1, 2], [2, 3, 4])
+        >>> print(v.vxm(M))
+        0|12
+        1| 2
+        2| 6
+        """
+        from .matrix import Matrix
+
+        if semiring is None:
+            semiring = current_semiring.get(None)
+        mask, accum, desc = self._get_args(mask, accum, desc)
+        # T1 transposes the matrix argument
+        bnrows = other.ncols if desc.inp1 else other.nrows
+        bncols = other.nrows if desc.inp1 else other.ncols
+        if self.size != bnrows:
+            raise DimensionMismatch(f"vxm: {self.size} != {bnrows}")
+        if out is None:
+            if semiring is not None:
+                typ = semiring.ztype
+            else:
+                typ = cast or promote(self.type, other.type)
+            out = Vector.sparse(typ, bncols)
+        if semiring is None:
+            semiring = out.type._default_semiring()
+        if other._fmt == "coo" and not Matrix._fits_bitmap(other.nrows,
+                                                           other.ncols):
+            return other._sparse_mxv(self, semiring, out, mask, accum, desc,
+                                     transpose=not desc.inp1)
+        bv, bm = other._dense_pair(desc.inp1)
+        xv, xm = self._dense_pair()
+        tv, tm = dk.mxm(xv[None, :], xm[None, :], bv, bm, semiring,
+                        np.dtype(semiring.ztype._numpy_t))
+        return self._writeback(out, tv[0, :], tm[0, :], mask, accum, desc)
+
+    def __matmul__(self, other):
+        return self.vxm(other)
+
+    def __imatmul__(self, other):
+        return self.vxm(other, out=self)
+
+    # ------------------------------------------------------------------
+    # operator overloads
+    # ------------------------------------------------------------------
+
+    def __getattr__(self, name):
+        """Look up operators as attributes: v.min_plus(M), v.ainv()."""
+        try:
+            attr = getattr(self.type, name)
+        except AttributeError:
+            raise AttributeError(
+                f"Vector has no attribute or type operator {name}")
+        return partial(attr, self)
+
+    def __len__(self):
+        """Number of stored elements."""
+        return self.nvals
+
+    def __and__(self, other):
+        op = current_binop.get(self.type.SECOND)
+        return self.emult(other, op)
+
+    def __iand__(self, other):
+        op = current_binop.get(self.type.SECOND)
+        return self.emult(other, op, out=self)
+
+    def __or__(self, other):
+        op = current_binop.get(self.type.SECOND)
+        return self.eadd(other, op)
+
+    def __ior__(self, other):
+        op = current_binop.get(self.type.SECOND)
+        return self.eadd(other, op, out=self)
+
+    def __add__(self, other):
+        op = current_binop.get(self.type.PLUS)
+        if not isinstance(other, Vector):
+            return self.apply_second(op, other)
+        return self.eadd(other, op)
+
+    def __radd__(self, other):
+        op = current_binop.get(self.type.PLUS)
+        if not isinstance(other, Vector):
+            return self.apply_first(other, op)
+        return other.eadd(self, op)  # pragma: no cover
+
+    def __iadd__(self, other):
+        op = current_binop.get(self.type.PLUS)
+        if not isinstance(other, Vector):
+            return self.apply_second(op, other, out=self)
+        return self.eadd(other, op, out=self)
+
+    def __sub__(self, other):
+        op = current_binop.get(self.type.MINUS)
+        if not isinstance(other, Vector):
+            return self.apply_second(op, other)
+        return self.eadd(other, op)
+
+    def __rsub__(self, other):
+        op = current_binop.get(self.type.MINUS)
+        if not isinstance(other, Vector):
+            return self.apply_first(other, op)
+        return other.eadd(self, op)  # pragma: no cover
+
+    def __isub__(self, other):
+        op = current_binop.get(self.type.MINUS)
+        if not isinstance(other, Vector):
+            return self.apply_second(op, other, out=self)
+        return self.eadd(other, op, out=self)
+
+    def __mul__(self, other):
+        op = current_binop.get(self.type.TIMES)
+        if not isinstance(other, Vector):
+            return self.apply_second(op, other)
+        return self.emult(other, op)
+
+    def __rmul__(self, other):
+        op = current_binop.get(self.type.TIMES)
+        if not isinstance(other, Vector):
+            return self.apply_first(other, op)
+        return other.emult(self, op)  # pragma: no cover
+
+    def __imul__(self, other):
+        op = current_binop.get(self.type.TIMES)
+        if not isinstance(other, Vector):
+            return self.apply_second(op, other, out=self)
+        return self.emult(other, op, out=self)
+
+    def __truediv__(self, other):
+        op = current_binop.get(self.type.DIV)
+        if not isinstance(other, Vector):
+            return self.apply_second(op, other)
+        return self.emult(other, op)
+
+    def __rtruediv__(self, other):
+        op = current_binop.get(self.type.DIV)
+        if not isinstance(other, Vector):
+            return self.apply_first(other, op)
+        return other.emult(self, op)  # pragma: no cover
+
+    def __itruediv__(self, other):
+        op = current_binop.get(self.type.DIV)
+        if not isinstance(other, Vector):
+            return self.apply_second(op, other, out=self)
+        return self.emult(other, op, out=self)
+
+    def __invert__(self):
+        return self.apply(self.type.MINV)
+
+    def __neg__(self):
+        return self.apply(self.type.AINV)
+
+    def __abs__(self):
+        return self.apply(self.type.ABS)
+
+    # ------------------------------------------------------------------
+    # comparison operators
+    # ------------------------------------------------------------------
+
+    def _full(self):
+        B = self.__class__.sparse(self.type, self.size)
+        B.assign_scalar(self.type.default_one)
+        return self.eadd(B, self.type.FIRST)
+
+    def _compare(self, other, op, strop):
+        C = self.__class__.sparse(types.BOOL, self.size)
+        if _is_scalar(other):
+            if op(other, 0):
+                B = self.__class__.dup(self)
+                B[:] = other
+                self.emult(B, strop, out=C)
+                return C
+            else:
+                self.select(strop, other).apply(types.BOOL.ONE, out=C)
+                return C
+        elif isinstance(other, Vector):
+            A = self._full()
+            B = other._full()
+            A.emult(B, strop, out=C)
+            return C
+        else:
+            raise TypeError("Unknown vector comparison type.")
+
+    def __gt__(self, other):
+        return self._compare(other, operator.gt, ">")
+
+    def __lt__(self, other):
+        return self._compare(other, operator.lt, "<")
+
+    def __ge__(self, other):
+        return self._compare(other, operator.ge, ">=")
+
+    def __le__(self, other):
+        return self._compare(other, operator.le, "<=")
+
+    def __eq__(self, other):
+        return self._compare(other, operator.eq, "==")
+
+    def __ne__(self, other):
+        return self._compare(other, operator.ne, "!=")
+
+    __hash__ = None
+
+    # ------------------------------------------------------------------
+    # assign
+    # ------------------------------------------------------------------
+
+    def assign(self, value, index=None, mask=None, accum=None, desc=None):
+        """Assign a sub-vector (GrB_Vector_assign parity).
+
+        >>> v = Vector.sparse(types.INT64, 3)
+        >>> v.assign(Vector.from_list([9, 8, 7]))
+        >>> print(v)
+        0| 9
+        1| 8
+        2| 7
+        """
+        mask, accum, desc = self._get_args(mask, accum, desc)
+        iset = _build_range(index if not isinstance(index, int)
+                            else slice(index, index), self._size - 1)
+        I = np.asarray(iset.indices(self._size), np.int64)
+        if len(I) != value.size:
+            raise DimensionMismatch("assign length mismatch")
+        self._flush()
+        xv, xm = value._dense_pair()
+        if len(I) == self._size and np.array_equal(I, np.arange(self._size)):
+            self._writeback(self, xv.astype(self.type._jnp_dtype()), xm,
+                            mask, accum, desc)
+            return
+        v, m = self._dense_pair()
+        idx = jnp.asarray(I)
+        sub_v, sub_m = v[idx], m[idx]
+        mv, mm = (None, None)
+        if mask is not None:
+            mv, mm = mask._dense_pair()
+            if mv.shape[0] == self._size:
+                mv, mm = mv[idx], mm[idx]
+        nv, nm = dk.writeback(sub_v, sub_m, xv.astype(v.dtype), xm, mv, mm,
+                              accum=accum, complement=desc.complement,
+                              structural=desc.structural,
+                              replace=desc.replace)
+        self._set_dense(v.at[idx].set(nv), m.at[idx].set(nm))
+
+    def assign_scalar(self, value, index=None, mask=None, accum=None,
+                      desc=None):
+        """Assign a scalar to a region of the Vector.
+
+        >>> v = Vector.sparse(types.INT64, 3)
+        >>> v.assign_scalar(42)
+        >>> print(v)
+        0|42
+        1|42
+        2|42
+        """
+        mask, accum, desc = self._get_args(mask, accum, desc)
+        iset = _build_range(index if not isinstance(index, int)
+                            else slice(index, index), self._size - 1)
+        I = np.asarray(iset.indices(self._size), np.int64)
+        self._flush()
+        v, m = self._dense_pair()
+        tv = jnp.full((len(I),), self.type._coerce(value), v.dtype)
+        tm = jnp.ones((len(I),), jnp.bool_)
+        if len(I) == self._size and np.array_equal(I, np.arange(self._size)):
+            self._writeback(self, tv, tm, mask, accum, desc)
+            return
+        idx = jnp.asarray(I)
+        sub_v, sub_m = v[idx], m[idx]
+        mv, mm = (None, None)
+        if mask is not None:
+            mv, mm = mask._dense_pair()
+            if mv.shape[0] == self._size:
+                mv, mm = mv[idx], mm[idx]
+        nv, nm = dk.writeback(sub_v, sub_m, tv, tm, mv, mm,
+                              accum=accum, complement=desc.complement,
+                              structural=desc.structural,
+                              replace=desc.replace)
+        self._set_dense(v.at[idx].set(nv), m.at[idx].set(nm))
