@@ -35,10 +35,11 @@ class BinaryOp:
     """
 
     def __init__(self, op, typ, fn=None, ztype="T", positional=None,
-                 boolean=False, udt=None, attach=True):
+                 boolean=False, udt=None, attach=True, builtin=False):
         self.op = op
         self.type_name = typ
         self.fn = fn
+        self.builtin = builtin
         self.ztype_rule = "BOOL" if boolean else ztype
         self.positional = positional
         self.udt = udt
@@ -116,6 +117,7 @@ def build_binaryops(__pdoc__=None):
                 fn=spec["fn"],
                 ztype=spec["ztype"],
                 positional=spec["positional"],
+                builtin=True,
             )
             setattr(this, r.name, r)
             if r.name not in __all__:

@@ -5,23 +5,23 @@ exceed the dense-bitmap budget live as sorted, deduplicated COO triples on
 the host (the analog of SuiteSparse's hypersparse format + pending-tuple
 model, reference ``matrix.py:167-170``, ``base.py:38``).  Compute ops
 ship these as device arrays (see ``core/sparse.py``); the functions here
-cover construction, mutation staging, and the O(nnz) host-side
+cover construction, mutation staging, and the O(nnz log nnz) host-side
 re-arrangements (sort/dedup/merge) that precede device dispatch.
+
+Indices are int64 pairs sorted lexicographically by (row, col), so the
+full GxB_INDEX_MAX = 2^60 logical index space is supported.
 """
 
 import numpy as np
 
-# lexicographic (row, col) sort keys: rows up to 2^32, cols up to 2^31.
-_KEY_SHIFT = 31
-_KEY_LIMIT = 1 << _KEY_SHIFT
+_PAIR_DTYPE = np.dtype([("r", np.int64), ("c", np.int64)])
 
 
-def keys_of(rows, cols):
-    if len(rows) and (rows.max(initial=0) >= (1 << 32) or
-                      cols.max(initial=0) >= _KEY_LIMIT):
-        raise ValueError(
-            "entry indices above 2^31 not yet supported in sparse storage")
-    return (rows.astype(np.int64) << _KEY_SHIFT) | cols.astype(np.int64)
+def _pairs(rows, cols):
+    a = np.empty(rows.size, dtype=_PAIR_DTYPE)
+    a["r"] = rows
+    a["c"] = cols
+    return a
 
 
 def build(rows, cols, vals, dtype, dedup="last"):
@@ -34,15 +34,14 @@ def build(rows, cols, vals, dtype, dedup="last"):
     vals = np.asarray(vals, dtype)
     if rows.size == 0:
         return rows, cols, vals
-    keys = keys_of(rows, cols)
-    # stable sort then keep the last occurrence of each key
-    order = np.argsort(keys, kind="stable")
-    keys = keys[order]
-    uniq_mask = np.empty(keys.shape, bool)
-    uniq_mask[:-1] = keys[:-1] != keys[1:]
-    uniq_mask[-1] = True
-    sel = order[uniq_mask]
-    return rows[sel], cols[sel], vals[sel]
+    order = np.lexsort((cols, rows))  # stable, row-major
+    rows = rows[order]
+    cols = cols[order]
+    vals = vals[order]
+    uniq = np.empty(rows.shape, bool)
+    uniq[:-1] = (rows[:-1] != rows[1:]) | (cols[:-1] != cols[1:])
+    uniq[-1] = True
+    return rows[uniq], cols[uniq], vals[uniq]
 
 
 def merge_pending(rows, cols, vals, pend_rows, pend_cols, pend_vals, dtype):
@@ -57,10 +56,12 @@ def find(rows, cols, i, j):
     """Index of entry (i, j) in canonical COO, or -1."""
     if rows.size == 0:
         return -1
-    key = (np.int64(i) << _KEY_SHIFT) | np.int64(j)
-    keys = keys_of(rows, cols)
-    pos = np.searchsorted(keys, key)
-    if pos < keys.size and keys[pos] == key:
+    lo = np.searchsorted(rows, i, side="left")
+    hi = np.searchsorted(rows, i, side="right")
+    if lo == hi:
+        return -1
+    pos = lo + np.searchsorted(cols[lo:hi], j)
+    if pos < hi and cols[pos] == j:
         return int(pos)
     return -1
 
@@ -76,19 +77,15 @@ def remove(rows, cols, vals, i, j):
 
 def ewise(rows_a, cols_a, vals_a, rows_b, cols_b, vals_b, fn, dtype,
           union=True):
-    """Element-wise union (eadd) or intersection (emult) of two COOs.
-
-    `fn` operates on numpy arrays of the matched entries.
-    """
-    ka = keys_of(rows_a, cols_a)
-    kb = keys_of(rows_b, cols_b)
+    """Element-wise union (eadd) or intersection (emult) of two canonical
+    COOs.  `fn` operates on numpy arrays of the matched entries."""
+    ka = _pairs(rows_a, cols_a)
+    kb = _pairs(rows_b, cols_b)
     common, ia, ib = np.intersect1d(ka, kb, assume_unique=True,
                                     return_indices=True)
     matched = np.asarray(fn(vals_a[ia], vals_b[ib]), dtype)
     if not union:
-        rows = rows_a[ia]
-        cols = cols_a[ia]
-        return rows, cols, matched
+        return rows_a[ia], cols_a[ia], matched
     only_a = np.setdiff1d(np.arange(ka.size), ia, assume_unique=True)
     only_b = np.setdiff1d(np.arange(kb.size), ib, assume_unique=True)
     rows = np.concatenate([rows_a[ia], rows_a[only_a], rows_b[only_b]])
@@ -99,11 +96,10 @@ def ewise(rows_a, cols_a, vals_a, rows_b, cols_b, vals_b, fn, dtype,
 
 
 def extract(rows, cols, vals, row_idx, col_idx):
-    """Extract the submatrix at (row_idx, col_idx) index vectors, renumbered
-    to the output coordinate space."""
+    """Extract the submatrix at (row_idx, col_idx) index vectors,
+    renumbered to the output coordinate space."""
     row_idx = np.asarray(row_idx, np.int64)
     col_idx = np.asarray(col_idx, np.int64)
-    # positions of each entry's row in row_idx (first match), -1 if absent
     rmap = {int(r): k for k, r in enumerate(row_idx)}
     cmap = {int(c): k for k, c in enumerate(col_idx)}
     out_r, out_c, out_v = [], [], []

@@ -170,7 +170,7 @@ def reduce_all(vals, mask, monoid):
     ident = jnp.asarray(monoid.identity(np.dtype(vals.dtype.name)))
     filled = jnp.where(mask, vals, ident)
     # tree-reduce via jnp reductions for the common monoids
-    name = monoid.binaryop.op
+    name = monoid.binaryop.op if monoid.binaryop.builtin else None
     if name == "PLUS":
         return jnp.sum(jnp.where(mask, vals, jnp.zeros_like(vals)))
     if name == "TIMES":
@@ -207,10 +207,34 @@ def reduce_all(vals, mask, monoid):
         # pick an arbitrary present entry (first one)
         idx = jnp.argmax(mask.ravel())
         return jnp.where(jnp.any(mask), vals.ravel()[idx], ident)
-    # generic associative fold
-    res = jax.lax.reduce(filled, ident, lambda a, b: monoid.apply(a, b),
-                         tuple(range(filled.ndim)))
-    return res
+    # generic monoid: identity-free masked tree fold (user monoids may have
+    # no representable identity)
+    v, m = _masked_tree_reduce(vals.ravel(), mask.ravel(), monoid.apply)
+    return jnp.where(m, v, ident)
+
+
+def _masked_tree_reduce(vals, mask, add_fn, axis=0):
+    """log2-depth fold of present entries along `axis`; absent entries never
+    touch the combiner."""
+    n = vals.shape[axis]
+    size = 1
+    while size < n:
+        size *= 2
+    pad = [(0, 0)] * vals.ndim
+    pad[axis] = (0, size - n)
+    v = jnp.pad(vals, pad)
+    m = jnp.pad(mask, pad)
+    while v.shape[axis] > 1:
+        half = v.shape[axis] // 2
+        lo = jax.lax.slice_in_dim(v, 0, half, axis=axis)
+        hi = jax.lax.slice_in_dim(v, half, 2 * half, axis=axis)
+        lo_m = jax.lax.slice_in_dim(m, 0, half, axis=axis)
+        hi_m = jax.lax.slice_in_dim(m, half, 2 * half, axis=axis)
+        both = jnp.logical_and(lo_m, hi_m)
+        v = jnp.where(both, add_fn(lo, hi).astype(v.dtype),
+                      jnp.where(hi_m, hi, lo))
+        m = jnp.logical_or(lo_m, hi_m)
+    return jnp.squeeze(v, axis), jnp.squeeze(m, axis)
 
 
 @partial(jax.jit, static_argnames=("monoid", "axis"))
@@ -218,7 +242,7 @@ def reduce_axis(vals, mask, monoid, axis):
     """Row (axis=1) or column (axis=0) reduction to a vector."""
     ident = jnp.asarray(monoid.identity(np.dtype(vals.dtype.name)))
     filled = jnp.where(mask, vals, ident)
-    name = monoid.binaryop.op
+    name = monoid.binaryop.op if monoid.binaryop.builtin else None
     if name == "PLUS":
         out = jnp.sum(jnp.where(mask, vals, jnp.zeros_like(vals)), axis=axis)
     elif name == "TIMES":
@@ -235,8 +259,7 @@ def reduce_axis(vals, mask, monoid, axis):
         out = (jnp.sum(jnp.logical_and(mask, _truthy(vals)).astype(jnp.int64),
                        axis=axis) % 2) == 1
     else:
-        out = jax.lax.reduce(filled, ident, lambda a, b: monoid.apply(a, b),
-                             (axis,))
+        out, _ = _masked_tree_reduce(vals, mask, monoid.apply, axis=axis)
     out_mask = jnp.any(mask, axis=axis)
     return out, out_mask
 
@@ -272,8 +295,9 @@ def mxm(a_vals, a_mask, b_vals, b_mask, semiring, out_dtype):
     (plus_times, plus_pair, plus_first/second, lor_land & friends).
     Generic path: k-blocked masked broadcast-reduce on the VPU.
     """
-    add = semiring.add_monoid.binaryop.op
-    mul = semiring.mul_op.op
+    builtin = semiring.add_monoid.binaryop.builtin and semiring.mul_op.builtin
+    add = semiring.add_monoid.binaryop.op if builtin else None
+    mul = semiring.mul_op.op if builtin else None
     out_dtype = np.dtype(out_dtype)
     is_bool_out = out_dtype == np.bool_
     m, k = a_vals.shape
@@ -307,8 +331,11 @@ def mxm(a_vals, a_mask, b_vals, b_mask, semiring, out_dtype):
         t_vals = prod > 0
         return t_vals, t_mask
 
-    # --- generic semiring: k-blocked broadcast reduce ---------------------
-    ident = jnp.asarray(semiring.add_monoid.identity(out_dtype))
+    # --- generic semiring: k-blocked masked fold ---------------------------
+    # The add monoid is folded ONLY over present products ("first match
+    # initializes"), so no identity value is ever injected -- matching
+    # SuiteSparse dot/saxpy semantics and supporting user monoids with no
+    # representable identity (e.g. log-add).
     mul_op = semiring.mul_op
     add_fn = semiring.add_monoid.apply
 
@@ -324,7 +351,14 @@ def mxm(a_vals, a_mask, b_vals, b_mask, semiring, out_dtype):
     j_grid = jax.lax.broadcasted_iota(jnp.int64, (m, kb, n), 2)
     kk_grid = jax.lax.broadcasted_iota(jnp.int64, (m, kb, n), 1)
 
-    def body(blk, acc):
+    def combine(acc, acc_m, val, val_m):
+        both = jnp.logical_and(acc_m, val_m)
+        merged = jnp.where(both, add_fn(acc, val).astype(acc.dtype),
+                           jnp.where(val_m, val, acc))
+        return merged, jnp.logical_or(acc_m, val_m)
+
+    def body(blk, carry):
+        acc, acc_m = carry
         k0 = blk * kb
         ab = jax.lax.dynamic_slice(a_v, (0, k0), (m, kb))         # (m, kb)
         abm = jax.lax.dynamic_slice(a_m, (0, k0), (m, kb))
@@ -340,17 +374,16 @@ def mxm(a_vals, a_mask, b_vals, b_mask, semiring, out_dtype):
         else:
             z = mul_op.apply(jnp.broadcast_to(x, (m, kb, n)),
                              jnp.broadcast_to(y, (m, kb, n))).astype(out_dtype)
-        z = jnp.where(pm, z, ident)
-        # fold the kb axis with the monoid
-        part = z[:, 0, :]
+        part, part_m = z[:, 0, :], pm[:, 0, :]
         for q in range(1, kb):
-            part = add_fn(part, z[:, q, :])
-        return add_fn(acc, part)
+            part, part_m = combine(part, part_m, z[:, q, :], pm[:, q, :])
+        return combine(acc, acc_m, part, part_m)
 
-    acc0 = jnp.full((m, n), ident, dtype=out_dtype)
-    t_vals = jax.lax.fori_loop(0, nblocks, body, acc0)
-    t_vals = jnp.where(t_mask, t_vals, jnp.zeros_like(t_vals))
-    return t_vals, t_mask
+    acc0 = jnp.zeros((m, n), dtype=out_dtype)
+    acc0_m = jnp.zeros((m, n), jnp.bool_)
+    t_vals, t_mask2 = jax.lax.fori_loop(0, nblocks, body, (acc0, acc0_m))
+    t_vals = jnp.where(t_mask2, t_vals, jnp.zeros_like(t_vals))
+    return t_vals, t_mask2
 
 
 # ---------------------------------------------------------------------------

@@ -780,7 +780,8 @@ class Matrix:
         if isinstance(i0, int) and isinstance(i1, int):
             if not (0 <= i0 < self._nrows and 0 <= i1 < self._ncols):
                 raise InvalidIndex("index out of bounds")
-            self._pending.append((i0, i1, self.type._coerce(value)))
+            self._pending.append(
+                (i0, i1, self.type._coerce(self.type._from_value(value))))
             self._invalidate()
             return
         if isinstance(i0, int) and isinstance(i1, slice):

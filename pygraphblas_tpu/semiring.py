@@ -23,14 +23,16 @@ __all__ = ["Semiring", "current_semiring"]
 class Semiring:
     """A GraphBLAS semiring."""
 
-    __slots__ = ("name", "pls", "mul", "type", "add_monoid", "mul_op",
-                 "_ztype_rule", "token")
+    __slots__ = ("name", "pls", "mul", "type", "type_cls", "add_monoid",
+                 "mul_op", "_ztype_rule", "token")
 
     def __init__(self, pls, mul, typ, add=None, mul_op=None, ztype="T",
-                 attach=True):
+                 attach=True, type_cls=None):
         self.pls = pls
         self.mul = mul
         self.type = typ
+        self.type_cls = type_cls if type_cls is not None else \
+            getattr(types, typ, None)
         self.name = "_".join((pls, mul, typ))
         self.token = None
         self._ztype_rule = ztype
@@ -78,7 +80,7 @@ class Semiring:
         """Result Type of this semiring (via the mul op's output domain)."""
         if self._ztype_rule == "BOOL":
             return types.BOOL
-        return self.mul_op.ztype(getattr(types, self.type))
+        return self.mul_op.ztype(self.type_cls)
 
 
 def build_semirings(__pdoc__=None):

@@ -89,6 +89,7 @@ class MetaType(type):
             add=monoid,
             mul_op=op,
             attach=False,
+            type_cls=cls,
         )
         setattr(cls, f"{sr.pls}_{sr.mul}", sr)
         setattr(cls, f"{sr.pls}_{sr.mul}".lower(), sr)

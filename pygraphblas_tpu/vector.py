@@ -484,7 +484,8 @@ class Vector:
         if isinstance(index, int):
             if not 0 <= index < self._size:
                 raise InvalidIndex("index out of bounds")
-            self._pending.append((index, self.type._coerce(value)))
+            self._pending.append(
+                (index, self.type._coerce(self.type._from_value(value))))
             self._invalidate()
             return
         if isinstance(index, slice):

@@ -1,0 +1,667 @@
+import pytest
+import numpy as np
+
+from pygraphblas_tpu import (
+    Matrix,
+    Vector,
+    Scalar,
+    Accum,
+    types,
+    descriptor,
+    binary_op,
+    unary_op,
+    select_op,
+    NoValue,
+    DimensionMismatch,
+)
+from pygraphblas_tpu.base import InvalidIndex
+
+
+def mk():
+    return Matrix.from_lists([0, 1, 2], [1, 2, 0], [10, 20, 30])
+
+
+# ---------------------------------------------------------------- lifecycle
+
+
+def test_sparse_constructor():
+    m = Matrix.sparse(types.INT64, 4, 5)
+    assert m.nrows == 4
+    assert m.ncols == 5
+    assert m.shape == (4, 5)
+    assert m.nvals == 0
+    assert not m.square
+    assert Matrix.sparse(types.INT64, 3, 3).square
+
+
+def test_unbounded_dims():
+    from pygraphblas_tpu import GxB_INDEX_MAX
+
+    m = Matrix.sparse(types.FP64)
+    assert m.nrows == GxB_INDEX_MAX
+    m[12345678901, 98765432101] = 3.5
+    assert m[12345678901, 98765432101] == 3.5
+    assert m.nvals == 1
+    assert repr(m) == "<Matrix(FP64, nvals: 1)>"
+
+
+def test_dup_and_clear():
+    m = mk()
+    d = m.dup()
+    assert d.iseq(m)
+    d[0, 0] = 99
+    assert m.get(0, 0) is None
+    e = m.dup(clear=True)
+    assert e.nvals == 0
+    assert e.shape == m.shape
+    m.clear()
+    assert m.nvals == 0
+
+
+def test_resize():
+    m = mk()
+    m.resize(10, 10)
+    assert m.shape == (10, 10)
+    assert m.nvals == 3
+    m.resize(2, 2)
+    assert m.nvals == 1  # only (0,1) survives
+    assert m[0, 1] == 10
+
+
+def test_from_lists_roundtrip():
+    I, J, V = [0, 0, 1, 2], [1, 2, 0, 2], [1, 2, 3, 4]
+    m = Matrix.from_lists(I, J, V)
+    assert m.to_lists() == [[0, 0, 1, 2], [1, 2, 0, 2], [1, 2, 3, 4]]
+    assert m.nvals == 4
+
+
+def test_from_lists_pattern_default():
+    m = Matrix.from_lists([0, 1], [1, 0])
+    assert m.type is types.BOOL
+    assert m[0, 1] is True
+
+
+def test_from_lists_dup_last_wins():
+    m = Matrix.from_lists([0, 0], [0, 0], [1, 2])
+    assert m.nvals == 1
+    assert m[0, 0] == 2
+
+
+def test_identity():
+    m = Matrix.identity(types.INT8, 3)
+    assert m.nvals == 3
+    assert all(m[i, i] == 1 for i in range(3))
+
+
+def test_iso_and_dense():
+    m = Matrix.iso(5, 2, 3)
+    assert m.type is types.INT64
+    assert m.nvals == 6
+    d = Matrix.dense(types.FP32, 2, 2, fill=1.5)
+    assert d[1, 1] == 1.5
+
+
+def test_element_access():
+    m = mk()
+    assert m[0, 1] == 10
+    with pytest.raises(NoValue):
+        m[0, 0]
+    assert (0, 1) in m
+    assert (0, 0) not in m
+    with pytest.raises(InvalidIndex):
+        m[99, 99]
+    m[2, 2] = -1
+    assert m[2, 2] == -1
+    del m[2, 2]
+    assert (2, 2) not in m
+
+
+def test_iteration():
+    m = mk()
+    assert sorted(iter(m)) == [(0, 1, 10), (1, 2, 20), (2, 0, 30)]
+    assert list(m.I) == [0, 1, 2]
+    assert list(m.J) == [1, 2, 0]
+    assert list(m.V) == [10, 20, 30]
+    assert m.npI.dtype == np.uint64
+
+
+# ---------------------------------------------------------------- ewise
+
+
+def test_eadd_union_semantics():
+    a = Matrix.from_lists([0, 0], [0, 1], [1, 2])
+    b = Matrix.from_lists([0, 1], [1, 1], [5, 7], nrows=2, ncols=2)
+    a.resize(2, 2)
+    c = a.eadd(b)
+    assert c.to_lists() == [[0, 0, 1], [0, 1, 1], [1, 7, 7]]
+
+
+def test_emult_intersection_semantics():
+    a = Matrix.from_lists([0, 0], [0, 1], [1, 2], 2, 2)
+    b = Matrix.from_lists([0, 1], [1, 1], [5, 7], 2, 2)
+    c = a.emult(b)
+    assert c.to_lists() == [[0], [1], [10]]
+
+
+def test_eadd_with_monoid_and_semiring():
+    a = mk()
+    m1 = a.eadd(a, types.INT64.MIN_MONOID)
+    assert m1[0, 1] == 10
+    # semiring eadd uses the additive monoid (MIN for min_plus)
+    m2 = a.eadd(a, types.INT64.min_plus)
+    assert m2[0, 1] == 10
+
+
+def test_operator_sugar():
+    a = mk()
+    assert (a + a)[0, 1] == 20
+    assert (a - a)[0, 1] == 0
+    assert (a * a)[0, 1] == 100
+    assert (a / a)[0, 1] == 1
+    assert (a + 1)[0, 1] == 11
+    assert (1 + a)[0, 1] == 11
+    assert (a - 1)[0, 1] == 9
+    assert (10 - a)[0, 1] == 0
+    assert (-a)[0, 1] == -10
+    assert abs(-a)[0, 1] == 10
+    b = a.dup()
+    b += a
+    assert b[0, 1] == 20
+    b = a.dup()
+    b *= a
+    assert b[0, 1] == 100
+
+
+def test_union_intersection_aliases():
+    a = mk()
+    assert (a | a)[0, 1] == 10  # SECOND combiner
+    assert (a & a)[0, 1] == 10
+
+
+def test_with_binop_context():
+    a = mk()
+    with types.INT64.MIN:
+        c = a + a
+    assert c[0, 1] == 10
+
+
+def test_iseq_isne():
+    a = mk()
+    assert a.iseq(a.dup())
+    assert not a.isne(a.dup())
+    b = a.dup()
+    b[0, 1] = 11
+    assert a.isne(b)
+    c = a.cast(types.FP32)
+    assert not a.iseq(c)  # different types
+
+
+# ---------------------------------------------------------------- reduce
+
+
+def test_reduce_scalar():
+    a = mk()
+    assert a.reduce_int() == 60
+    assert a.reduce_float() == 60.0
+    assert a.reduce() == 60
+    assert a.reduce(types.INT64.MAX_MONOID) == 30
+    assert a.reduce(types.INT64.MIN_MONOID) == 10
+    assert Matrix.from_lists([0], [0], [True]).reduce_bool() is True
+    assert Matrix.sparse(types.BOOL, 2, 2).reduce_bool() is False
+
+
+def test_reduce_vector():
+    a = Matrix.from_lists([0, 0, 1], [0, 1, 0], [1, 2, 3], 3, 2)
+    v = a.reduce_vector()
+    assert v.to_lists() == [[0, 1], [3, 3]]
+    vc = a.reduce_vector(desc=descriptor.T0)
+    assert vc.to_lists() == [[0, 1], [4, 2]]
+
+
+# ---------------------------------------------------------------- matmul
+
+
+def test_mxm_plus_times():
+    a = Matrix.from_lists([0, 0, 1], [0, 1, 1], [1, 2, 3], 2, 2)
+    b = Matrix.from_lists([0, 1], [0, 0], [4, 5], 2, 2)
+    c = a.mxm(b)
+    # c[0,0] = 1*4 + 2*5 = 14, c[1,0] = 3*5 = 15
+    assert c.to_lists() == [[0, 1], [0, 0], [14, 15]]
+    assert (a @ b).iseq(c)
+
+
+def test_mxm_semiring_and_context():
+    a = Matrix.from_lists([0, 0, 1], [0, 1, 1], [1, 2, 3], 2, 2)
+    c = a.mxm(a, semiring=types.INT64.min_plus)
+    assert c[0, 1] == 3  # min(1+2, 2+3) = 3
+    with types.INT64.min_plus:
+        c2 = a @ a
+    assert c2.iseq(c)
+
+
+def test_mxm_transpose_descriptors():
+    a = Matrix.from_lists([0, 1], [1, 0], [2, 3], 2, 2)
+    c_tt = a.mxm(a, desc=descriptor.T0T1)
+    c = a.T.mxm(a.T)
+    assert c_tt.iseq(c)
+
+
+def test_mxm_mask_and_accum():
+    a = Matrix.from_lists([0, 0, 1], [0, 1, 1], [1, 2, 3], 2, 2)
+    mask = Matrix.from_lists([0], [0], [True], 2, 2)
+    c = a.mxm(a, mask=mask)
+    assert c.nvals == 1
+    assert c[0, 0] == 1
+    out = Matrix.from_lists([0], [0], [100], 2, 2)
+    a.mxm(a, out=out, accum=types.INT64.PLUS)
+    assert out[0, 0] == 101
+
+
+def test_mxm_replace_desc():
+    a = Matrix.from_lists([0, 0, 1], [0, 1, 1], [1, 2, 3], 2, 2)
+    out = Matrix.from_lists([1], [0], [77], 2, 2)
+    mask = Matrix.from_lists([0], [0], [True], 2, 2)
+    a.mxm(a, out=out, mask=mask, desc=descriptor.R)
+    assert (1, 0) not in out  # replaced away
+    assert out[0, 0] == 1
+
+
+def test_mxv_vxm():
+    m = Matrix.from_lists([0, 1, 2], [1, 2, 0], [1, 2, 3])
+    v = Vector.from_lists([0, 1, 2], [2, 3, 4])
+    o = m.mxv(v)
+    assert o.to_lists() == [[0, 1, 2], [3, 8, 6]]
+    o2 = v.vxm(m)
+    assert o2.to_lists() == [[0, 1, 2], [12, 2, 6]]
+    assert (v @ m).iseq(o2)
+    # mxv with transpose == vxm
+    assert m.mxv(v, desc=descriptor.T0).iseq(o2)
+
+
+def test_mxm_bool_lor_land():
+    a = Matrix.from_lists([0, 1], [1, 0], [True, True])
+    c = a.mxm(a)
+    assert c.type is types.BOOL
+    assert c[0, 0] is True
+
+
+def test_pow():
+    a = Matrix.from_lists([0, 1], [1, 0], [2, 3])
+    assert (a ** 2)[0, 0] == 6
+    assert (a ** 3)[0, 1] == 12
+    i = a ** 0
+    assert i[0, 0] == 1 and i[1, 1] == 1
+
+
+def test_kronecker():
+    a = Matrix.from_lists([0, 1], [0, 1], [1, 2], 2, 2)
+    b = Matrix.iso(3, 2, 2)
+    k = a.kronecker(b)
+    assert k.shape == (4, 4)
+    assert k[0, 0] == 3
+    assert k[2, 2] == 6
+    assert (0, 2) not in k
+
+
+def test_kronpow():
+    init = Matrix.from_lists([0, 0, 1], [0, 1, 1], [1.0, 1.0, 1.0])
+    assert init.kronpow(0).iseq(Matrix.identity(types.FP64, 2))
+    assert init.kronpow(1).iseq(init)
+    assert init.kronpow(2).shape == (4, 4)
+
+
+# ---------------------------------------------------------------- transpose
+
+
+def test_transpose():
+    m = mk()
+    t = m.transpose()
+    assert sorted(iter(t)) == [(0, 2, 30), (1, 0, 10), (2, 1, 20)]
+    assert m.T.iseq(t)
+
+
+def test_transpose_desc_t0_is_copy():
+    m = mk()
+    c = m.transpose(desc=descriptor.T0)
+    assert c.iseq(m)
+
+
+def test_cast():
+    m = mk()
+    f = m.cast(types.FP64)
+    assert f.type is types.FP64
+    assert f[0, 1] == 10.0
+
+
+# ---------------------------------------------------------------- slicing
+
+
+def test_extract_matrix_full():
+    m = mk()
+    assert m.extract_matrix().iseq(m)
+    assert m[:, :].iseq(m)
+
+
+def test_extract_submatrix_ranges():
+    m = Matrix.dense(types.INT64, 4, 4, fill=1)
+    s = m[1:2, 1:2]  # stop-inclusive: 2x2
+    assert s.shape == (2, 2)
+    s2 = m[0:3:2, :]  # stride
+    assert s2.shape == (2, 4)
+    s3 = m[3:0:-1, :]  # backwards
+    assert s3.shape == (4, 4)
+
+
+def test_extract_lists_and_renumber():
+    m = mk()
+    s = m.extract_matrix([2, 0], [0, 1])
+    # entry (2,0)=30 -> (0,0); entry (0,1)=10 -> (1,1)
+    assert s[0, 0] == 30
+    assert s[1, 1] == 10
+
+
+def test_extract_row_col():
+    m = mk()
+    r = m[0]
+    assert r.to_lists() == [[1], [10]]
+    c = m[:, 0]
+    assert c.to_lists() == [[2], [30]]
+    r2 = m[0, :]
+    assert r2.iseq(r)
+
+
+def test_extract_with_matrix_mask():
+    m = mk()
+    mask = Matrix.from_lists([0], [1], [True], 3, 3)
+    e = m[mask]
+    assert e.nvals == 1
+    assert e[0, 1] == 10
+
+
+# ---------------------------------------------------------------- assign
+
+
+def test_assign_scalar_all():
+    m = Matrix.sparse(types.BOOL, 2, 2)
+    m[:, :] = True
+    assert m.nvals == 4
+
+
+def test_assign_scalar_row_col():
+    m = Matrix.sparse(types.INT64, 3, 3)
+    m[1] = 7
+    assert m.nvals == 3
+    assert m[1, 2] == 7
+    m.clear()
+    m[:, 1] = 9
+    assert m[2, 1] == 9
+    assert m.nvals == 3
+
+
+def test_assign_row_col_vector():
+    m = Matrix.sparse(types.INT64, 3, 3)
+    m[1] = Vector.from_lists([0, 2], [5, 6], 3)
+    assert m.nvals == 2
+    assert m[1, 0] == 5 and m[1, 2] == 6
+    m.assign_col(0, Vector.from_lists([1], [3], 3))
+    assert m[1, 0] == 3
+
+
+def test_assign_matrix():
+    m = Matrix.sparse(types.INT64, 3, 3)
+    m[:, :] = Matrix.identity(types.INT64, 3)
+    assert m.nvals == 3
+    assert m[2, 2] == 1
+
+
+def test_assign_submatrix():
+    m = Matrix.sparse(types.INT64, 4, 4)
+    sub = Matrix.dense(types.INT64, 2, 2, fill=5)
+    m[0:1, 0:1] = sub
+    assert m.nvals == 4
+    assert m[1, 1] == 5
+    assert (2, 2) not in m
+
+
+def test_masked_scalar_assign():
+    m = Matrix.sparse(types.INT64, 3, 3)
+    mask = Matrix.from_lists([0, 1], [0, 1], [True, True], 3, 3)
+    m[mask] = 8
+    assert m.nvals == 2
+    assert m[1, 1] == 8
+
+
+def test_masked_matrix_assign():
+    m = Matrix.dense(types.INT64, 2, 2, fill=1)
+    mask = Matrix.from_lists([0], [0], [True], 2, 2)
+    m[mask] = Matrix.iso(9, 2, 2)
+    assert m[0, 0] == 9
+    assert m[1, 1] == 1
+
+
+# ---------------------------------------------------------------- apply/select
+
+
+def test_apply():
+    m = mk()
+    n = m.apply(types.INT64.AINV)
+    assert n[0, 1] == -10
+    assert m.apply(types.INT64.ONE)[2, 0] == 1
+
+
+def test_apply_first_second():
+    m = mk()
+    assert m.apply_first(100, types.INT64.MINUS)[0, 1] == 90
+    assert m.apply_second(types.INT64.MINUS, 100)[0, 1] == -90
+    assert m.apply_first(Scalar.from_value(2), types.INT64.TIMES)[0, 1] == 20
+
+
+def test_select_strings():
+    m = Matrix.from_lists([0, 1, 2], [1, 2, 0], [-5, 0, 7])
+    assert m.select(">0").to_lists() == [[2], [0], [7]]
+    assert m.select("<0").to_lists() == [[0], [1], [-5]]
+    assert m.select(">=0").nvals == 2
+    assert m.select("<=0").nvals == 2
+    assert m.select("!=0").nvals == 2
+    assert m.select("==0").nvals == 1
+    assert m.select(">", 0).nvals == 1
+    assert m.select("<", 7).nvals == 2
+    assert m.select(">=", 7).nvals == 1
+    assert m.select("<=", -5).nvals == 1
+    assert m.select("==", 7).nvals == 1
+    assert m.select("!=", 7).nvals == 2
+
+
+def test_select_min_max():
+    m = Matrix.from_lists([0, 1, 2], [1, 2, 0], [-5, 0, 7])
+    assert m.select("min").to_lists() == [[0], [1], [-5]]
+    assert m.select("max").to_lists() == [[2], [0], [7]]
+
+
+def test_tril_triu_diag_offdiag():
+    m = Matrix.dense(types.INT64, 3, 3, fill=1)
+    assert m.tril().nvals == 6
+    assert m.triu().nvals == 6
+    assert m.diag().nvals == 3
+    assert m.offdiag().nvals == 6
+    assert m.tril(-1).nvals == 3
+    assert m.triu(1).nvals == 3
+
+
+def test_select_thunk_scalar():
+    m = Matrix.from_lists([0, 1], [1, 0], [1, 2])
+    s = Scalar.from_value(1)
+    assert m.select(">", s).nvals == 1
+
+
+# ---------------------------------------------------------------- compare
+
+
+def test_compare_scalar():
+    m = Matrix.from_lists([0, 1, 2], [1, 2, 0], [-5, 0, 7])
+    gt = m > 0
+    assert gt.type is types.BOOL
+    assert gt.nvals == 1  # only strictly-positive entries survive
+    ge0 = m >= 0
+    assert ge0[1, 2] is True
+    lt = m < 1
+    assert lt[0, 1] is True
+
+
+def test_compare_matrix():
+    a = Matrix.from_lists([0, 1], [1, 0], [1, 5], 2, 2)
+    b = Matrix.from_lists([0, 1], [1, 0], [1, 3], 2, 2)
+    eq = a == b
+    assert eq[0, 1] is True
+    assert eq[1, 0] is False
+    ne = a != b
+    assert ne[1, 0] is True
+
+
+# ---------------------------------------------------------------- udf
+
+
+def test_binary_op_decorator():
+    @binary_op(types.INT64)
+    def addmod7(x, y):
+        return (x + y) % 7
+
+    a = Matrix.from_lists([0, 1], [1, 0], [5, 6])
+    c = a.emult(a, addmod7)
+    assert c[0, 1] == 3
+    with addmod7:
+        c2 = a + a
+    assert c2[0, 1] == 3
+
+
+def test_unary_op_decorator():
+    @unary_op(types.FP64)
+    def half(x):
+        return x / 2
+
+    a = Matrix.from_lists([0], [0], [3.0])
+    assert a.apply(half)[0, 0] == 1.5
+
+
+def test_select_op_decorator():
+    @select_op(types.INT64)
+    def upper_left(i, j, x, t):
+        return (i + j) < t
+
+    a = Matrix.dense(types.INT64, 3, 3, fill=1)
+    assert a.select(upper_left, 2).nvals == 3
+
+
+def test_accum_context():
+    a = Matrix.from_lists([0], [0], [1], 1, 1)
+    out = Matrix.from_lists([0], [0], [10], 1, 1)
+    with Accum(types.INT64.PLUS):
+        a.eadd(a, out=out)
+    assert out[0, 0] == 12
+
+
+# ---------------------------------------------------------------- io
+
+
+def test_mm_roundtrip(tmp_path):
+    m = mk().cast(types.FP64)
+    p = tmp_path / "m.mtx"
+    with open(p, "w") as f:
+        m.to_mm(f)
+    m2 = Matrix.from_mm(p)
+    assert m2.iseq(m)
+
+
+def test_csv_tsv(tmp_path):
+    p = tmp_path / "m.csv"
+    p.write_text("row,col,val\n1,2,10\n2,3,20\n")
+    m = Matrix.from_csv(p, types.INT64, 3, 3)
+    assert m[0, 1] == 10
+    assert m[1, 2] == 20
+    p2 = tmp_path / "m.tsv"
+    p2.write_text("row\tcol\tval\n1\t1\t5\n")
+    m2 = Matrix.from_tsv(p2, types.INT64, 2, 2)
+    assert m2[0, 0] == 5
+
+
+def test_binfile_roundtrip(tmp_path):
+    m = mk()
+    p = tmp_path / "m.grb.npz"
+    m.binwrite(p)
+    m2 = Matrix.binread(p)
+    assert m2.iseq(m)
+
+
+def test_scipy_numpy_roundtrip():
+    m = mk()
+    s = m.to_scipy_sparse()
+    m2 = Matrix.from_scipy_sparse(s)
+    assert m2.iseq(m)
+    arr = m.to_numpy()
+    assert arr[0, 1] == 10
+    assert arr[0, 0] == 0
+
+
+def test_random_seeded():
+    a = Matrix.random(types.UINT8, 10, 5, 5, seed=42)
+    b = Matrix.random(types.UINT8, 10, 5, 5, seed=42)
+    assert a.iseq(b)
+
+
+# ---------------------------------------------------------------- misc
+
+
+def test_to_string_golden():
+    m = Matrix.from_lists([0, 1, 2], [1, 2, 0], [42, 0, 149])
+    assert m.to_string() == (
+        "      0  1  2\n"
+        "  0|    42   |  0\n"
+        "  1|        0|  1\n"
+        "  2|149      |  2\n"
+        "      0  1  2")
+
+
+def test_getattr_dispatch():
+    a = Matrix.from_lists([0, 1], [1, 0], [2, 3])
+    c = a.min_plus(a)
+    assert c[0, 0] == 5
+    c2 = a.plus_times(a)
+    assert c2[0, 0] == 6
+
+
+def test_out_degree_and_gini():
+    m = Matrix.from_lists([0, 1, 0, 2], [1, 2, 2, 0], [1, 1, 1, 1])
+    d = m.out_degree()
+    assert d.to_lists() == [[0, 1, 2], [2, 1, 1]]
+    g = m.gini()
+    assert 0 <= g < 1
+
+
+def test_pattern_and_masks():
+    m = mk()
+    p = m.pattern()
+    assert p.type is types.BOOL
+    assert p.nvals == 3
+    assert m.M.iseq(p)
+    assert m.S.iseq(p)
+
+
+def test_wait_and_len():
+    m = mk()
+    m.wait()
+    assert len(m) == 3
+
+
+def test_memory_usage():
+    assert mk().memory_usage > 0
+
+
+def test_vector_diag_and_from_diag():
+    v = Vector.from_list([1, 2, 3])
+    m = Matrix.from_diag(v)
+    assert m[1, 1] == 2
+    d = m.vector_diag()
+    assert d.iseq(v)
+    m2 = Matrix.from_diag(v, 1)
+    assert m2[0, 1] == 1
+    assert m2.shape == (4, 4)

@@ -1,0 +1,237 @@
+import pytest
+import numpy as np
+
+from pygraphblas_tpu import (
+    Matrix,
+    Vector,
+    Scalar,
+    Accum,
+    types,
+    descriptor,
+    NoValue,
+)
+from pygraphblas_tpu.base import InvalidIndex
+
+
+def mkv():
+    return Vector.from_lists([0, 1, 2], [10, 20, 30])
+
+
+def test_constructors():
+    v = Vector.sparse(types.INT64, 5)
+    assert v.size == 5
+    assert v.nvals == 0
+    d = Vector.dense(types.FP32, 3, fill=1.5)
+    assert d.nvals == 3
+    i = Vector.iso(7, 4)
+    assert i[3] == 7
+    l = Vector.from_list([1, 2, 3])
+    assert l.to_lists() == [[0, 1, 2], [1, 2, 3]]
+    n = Vector.from_1_to_n(4)
+    assert n[3] == 4
+    p = Vector.from_lists([0, 2])
+    assert p.type is types.BOOL
+
+
+def test_unbounded_vector():
+    from pygraphblas_tpu import GxB_INDEX_MAX
+
+    v = Vector.sparse(types.FP64)
+    assert v.size == GxB_INDEX_MAX
+    v[98765432101] = 2.5
+    assert v[98765432101] == 2.5
+    assert repr(v) == "<Vector(FP64, nvals: 1)>"
+
+
+def test_element_access():
+    v = mkv()
+    assert v[1] == 20
+    with pytest.raises(InvalidIndex):
+        v[99]
+    del v[1]
+    with pytest.raises(NoValue):
+        v[1]
+    assert 0 in v
+    assert 1 not in v
+    assert v.get(1, "dflt") == "dflt"
+
+
+def test_dup_clear_resize():
+    v = mkv()
+    d = v.dup()
+    assert d.iseq(v)
+    d[0] = 99
+    assert v[0] == 10
+    v.resize(2)
+    assert v.size == 2
+    assert v.nvals == 2
+    v.clear()
+    assert v.nvals == 0
+
+
+def test_eadd_emult():
+    u = Vector.from_lists([0, 1], [1, 2], 3)
+    w = Vector.from_lists([1, 2], [10, 20], 3)
+    assert u.eadd(w).to_lists() == [[0, 1, 2], [1, 12, 20]]
+    assert u.emult(w).to_lists() == [[1], [20]]
+    assert u.eadd(w, types.INT64.MAX).to_lists() == [[0, 1, 2], [1, 10, 20]]
+    assert u.emult(w, "+").to_lists() == [[1], [12]]
+
+
+def test_operator_sugar():
+    v = mkv()
+    assert (v + v)[0] == 20
+    assert (v * v)[0] == 100
+    assert (v - 1)[0] == 9
+    assert (1 + v)[0] == 11
+    assert (2 * v)[2] == 60
+    assert (-v)[0] == -10
+    assert abs(-v)[0] == 10
+    w = v.dup()
+    w += v
+    assert w[0] == 20
+    assert (v | v)[0] == 10
+    assert (v & v)[0] == 10
+
+
+def test_vxm_and_mask():
+    m = Matrix.from_lists([0, 1, 2], [1, 2, 0], [1, 2, 3])
+    v = Vector.from_lists([0, 1, 2], [2, 3, 4])
+    o = v.vxm(m)
+    assert o.to_lists() == [[0, 1, 2], [12, 2, 6]]
+    del o[1]
+    o2 = v.vxm(m, mask=o)
+    assert o2.to_lists() == [[0, 2], [12, 6]]
+    # complement mask
+    o3 = v.vxm(m, mask=o, desc=descriptor.C)
+    assert o3.to_lists()[0] == [1]
+
+
+def test_vxm_accum_and_t1():
+    m = Matrix.from_lists([0, 1, 2], [1, 2, 0], [1, 2, 3])
+    v = Vector.from_lists([0, 1, 2], [2, 3, 4])
+    o = v.dup()
+    v.vxm(m, accum=types.INT64.plus, out=o)
+    assert o.to_lists() == [[0, 1, 2], [14, 5, 10]]
+    # T1 transposes the matrix: vxm(A, T1) == mxv(A)
+    assert v.vxm(m, desc=descriptor.T1).iseq(m.mxv(v))
+
+
+def test_reduce():
+    v = mkv()
+    assert v.reduce_int() == 60
+    assert v.reduce() == 60
+    assert v.reduce_float() == 60.0
+    assert v.max() == 30
+    assert v.min() == 10
+    b = Vector.from_lists([0, 1], [False, True])
+    assert b.max() is True
+    assert b.min() is False
+    assert b.reduce_bool() is True
+    f = Vector.from_lists([0, 1], [1.5, -2.5])
+    assert f.max() == 1.5
+    assert f.min() == -2.5
+    with pytest.raises(TypeError):
+        Vector.from_lists([0], [1j]).max()
+    with pytest.raises(TypeError):
+        Vector.from_lists([0], [1j]).min()
+
+
+def test_apply_select():
+    v = mkv()
+    assert v.apply(types.INT64.AINV)[0] == -10
+    assert v.apply_first(100, types.INT64.MINUS)[0] == 90
+    assert v.apply_second(types.INT64.MINUS, 100)[0] == -90
+    w = Vector.from_lists([0, 1, 2], [-1, 0, 1])
+    assert w.select(">0").nvals == 1
+    assert w.select("<=0").nvals == 2
+    assert w.select("min").to_lists() == [[0], [-1]]
+    assert w.select("max").to_lists() == [[2], [1]]
+    assert w.nonzero().nvals == 2
+
+
+def test_pattern():
+    v = mkv()
+    p = v.pattern()
+    assert p.type is types.BOOL
+    assert p.nvals == 3
+    assert v.S.iseq(p)
+
+
+def test_assign():
+    v = Vector.sparse(types.INT64, 4)
+    v[:] = 3
+    assert v.nvals == 4
+    v.clear()
+    v[1:2] = 5  # stop-inclusive
+    assert v.to_lists() == [[1, 2], [5, 5]]
+    v2 = Vector.sparse(types.INT64, 4)
+    v2.assign(Vector.from_list([1, 2]), slice(1, 2))
+    assert v2.to_lists() == [[1, 2], [1, 2]]
+    v3 = Vector.sparse(types.INT64, 3)
+    mask = Vector.from_lists([0, 2], [True, True], 3)
+    v3.assign_scalar(9, mask=mask)
+    assert v3.to_lists() == [[0, 2], [9, 9]]
+    v4 = Vector.sparse(types.INT64, 3)
+    v4[mask] = 7
+    assert v4.to_lists() == [[0, 2], [7, 7]]
+    v4[[0, 1]] = 1
+    assert v4[1] == 1
+
+
+def test_extract():
+    v = mkv()
+    e = v.extract(slice(1, 2))
+    assert e.to_lists() == [[0, 1], [20, 30]]
+    e2 = v[[2, 0]]
+    assert e2.to_lists() == [[0, 1], [30, 10]]
+    e3 = v[0:2:2]
+    assert e3.to_lists() == [[0, 1], [10, 30]]
+    e4 = v[2:0:-1]
+    assert e4.to_lists() == [[0, 1, 2], [30, 20, 10]]
+
+
+def test_compare():
+    v = Vector.from_lists([0, 1, 2], [-5, 0, 7])
+    assert (v > 0).nvals == 1
+    assert (v >= 0)[1] is True
+    u = Vector.from_lists([0, 1], [1, 2])
+    w = Vector.from_lists([0, 1], [1, 3])
+    assert (u == w)[0] is True
+    assert (u == w)[1] is False
+
+
+def test_iseq_types():
+    v = mkv()
+    assert not v.iseq(v.apply(types.FP32.ONE))
+    assert v.iseq(v.dup(), eq_op=types.INT64.EQ)
+
+
+def test_to_string_golden():
+    v = Vector.from_lists([0, 2], [1, 2])
+    assert v.to_string() == "0| 1\n1|\n2| 2"
+
+
+def test_bitwise_ops():
+    u = Vector.from_lists([0, 1], [0b1100, 0b1010], typ=types.UINT8)
+    w = Vector.from_lists([0, 1], [0b1010, 0b0110], typ=types.UINT8)
+    assert u.emult(w, types.UINT8.BOR).to_lists()[1] == [0b1110, 0b1110]
+    assert u.emult(w, types.UINT8.BAND).to_lists()[1] == [0b1000, 0b0010]
+    assert u.emult(w, types.UINT8.BXOR).to_lists()[1] == [0b0110, 0b1100]
+
+
+def test_iteration_exports():
+    v = mkv()
+    assert list(iter(v)) == [(0, 10), (1, 20), (2, 30)]
+    assert list(v.I) == [0, 1, 2]
+    assert list(v.V) == [10, 20, 30]
+    assert v.npI.dtype == np.uint64
+    assert list(v.npV) == [10, 20, 30]
+    i, vals = v.to_arrays()
+    assert list(i) == [0, 1, 2]
+
+
+def test_random_seeded():
+    a = Vector.random(types.FP64, 10, 20, seed=7)
+    b = Vector.random(types.FP64, 10, 20, seed=7)
+    assert a.iseq(b)
