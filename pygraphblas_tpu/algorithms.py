@@ -1,0 +1,216 @@
+"""Graph algorithms over the public GraphBLAS API.
+
+These are user-level codes, written the same way the reference's demo
+notebooks and GAP drivers write them (reference: ``demo/*.ipynb``,
+``gap/prmark.py``, ``gap/bcmark.py``, ``demo/dnn/dnn.py``) — masked
+semiring mxv/mxm loops with device-resident state.
+"""
+
+from . import types, descriptor
+from .matrix import Matrix
+from .vector import Vector
+
+__all__ = [
+    "bfs_level",
+    "bfs_parents",
+    "pagerank",
+    "sssp",
+    "triangle_count",
+    "betweenness_centrality",
+    "k_truss",
+    "triangle_centrality",
+    "dnn",
+]
+
+
+def bfs_level(A, start):
+    """Level-synchronous BFS; returns a vector of 1-based levels.
+
+    The canonical masked-vxm loop (reference demo
+    `Introduction-to-GraphBLAS-with-Python.ipynb`, SURVEY §3.3).
+    """
+    n = A.nrows
+    v = Vector.sparse(types.INT64, n)
+    q = Vector.sparse(types.BOOL, n)
+    q[start] = True
+    level = 1
+    while q.reduce_bool() and level <= n:
+        v.assign_scalar(level, mask=q)
+        q = q.vxm(A, semiring=types.BOOL.lor_land, mask=v,
+                  desc=descriptor.RC)
+        level += 1
+    return v
+
+
+def bfs_parents(A, start):
+    """BFS parent tree via the ANY_SECONDI semiring; returns a vector of
+    0-based parent ids (start's parent is itself)."""
+    n = A.nrows
+    pi = Vector.sparse(types.INT64, n)
+    q = Vector.sparse(types.INT64, n)
+    q[start] = start
+    pi[start] = start
+    while q.nvals > 0:
+        # SECONDI: the matrix entry's row index k == the parent id
+        q = q.vxm(A, semiring=types.INT64.any_secondi, mask=pi,
+                  desc=descriptor.RSC)
+        if q.nvals == 0:
+            break
+        pi.assign(q, mask=q, desc=descriptor.S)
+    return pi
+
+
+def pagerank(A, damping=0.85, itermax=100, tol=1e-4, d=None):
+    """PageRank, the GAP formulation (reference ``gap/prmark.py:8-30``):
+    transposed plus_second SpMV with degree-normalized ranks.
+    """
+    n = A.nrows
+    if d is None:
+        d = A.reduce_vector(types.FP32.PLUS_MONOID, cast=types.FP32)
+        d = d.eadd(Vector.dense(types.FP32, n, fill=0.0), types.FP32.FIRST)
+    r = Vector.sparse(types.FP32, n)
+    t = Vector.sparse(types.FP32, n)
+    d = d.apply_second(types.FP32.DIV, damping)
+    r[:] = 1.0 / n
+    teleport = (1 - damping) / n
+    rdiff = 1.0
+    for i in range(itermax):
+        if rdiff <= tol:
+            break
+        temp = t
+        t = r
+        r = temp
+        w = t.emult(d, types.FP32.DIV)
+        r.assign_scalar(teleport)
+        A.mxv(w, out=r, accum=types.FP32.PLUS,
+              semiring=types.FP32.plus_second, desc=descriptor.T0)
+        t -= r
+        t.apply(types.FP32.ABS, out=t)
+        rdiff = t.reduce_float()
+    return r
+
+
+def sssp(A, start):
+    """Single-source shortest paths via min_plus mxv with min accumulate
+    (reference demo `User-Defined-Types.ipynb` / SSSP notebook)."""
+    n = A.nrows
+    v = Vector.sparse(A.type, n)
+    v[start] = 0
+    for _ in range(n):
+        w = v.dup()
+        v = v.vxm(A, semiring=getattr(A.type, "MIN_PLUS"),
+                  accum=getattr(A.type, "MIN"), out=v)
+        if w.iseq(v):
+            break
+    return v
+
+
+def triangle_count(A, method="sandia"):
+    """Count triangles in the undirected graph A (boolean-symmetric).
+
+    Methods (reference demo `TriangleCentrality.ipynb` et al.):
+    - "cohen":     (L @ U)<A> plus_pair, total / 2
+    - "sandia":    (L @ L)<L> plus_pair, total
+    - "sandia_dot": (L @ U.T)<L> plus_pair via T1 descriptor
+    """
+    L = A.tril(-1)
+    U = A.triu(1)
+    sr = types.INT64.plus_pair
+    if method == "cohen":
+        C = L.mxm(U, semiring=sr, mask=A, cast=types.INT64)
+        return C.reduce_int() // 2
+    if method == "sandia":
+        C = L.mxm(L, semiring=sr, mask=L, cast=types.INT64)
+        return C.reduce_int()
+    if method == "sandia_dot":
+        C = L.mxm(U, semiring=sr, mask=L, cast=types.INT64,
+                  desc=descriptor.T1)
+        return C.reduce_int()
+    raise ValueError(f"unknown method {method}")
+
+
+def betweenness_centrality(A, sources, AT=None):
+    """Batched Brandes betweenness centrality (reference
+    ``gap/bcmark.py:16-67``): forward masked PLUS_FIRST SpMM over a batch
+    of source frontiers, then a backward dependency sweep.
+    """
+    if AT is None:
+        AT = A.T
+    n = A.nrows
+    ns = len(sources)
+    paths = Matrix.dense(types.FP32, ns, n, fill=0.0)
+    frontier = Matrix.sparse(types.FP32, ns, n)
+    for i, s in enumerate(sources):
+        paths[i, s] = 1.0
+        frontier[i, s] = 1.0
+
+    # forward: expand frontiers until exhausted, snapshotting levels
+    S = []
+    frontier = frontier.mxm(A, semiring=types.FP32.plus_first,
+                            mask=paths, desc=descriptor.RC)
+    while frontier.nvals != 0:
+        S.append(frontier.pattern())
+        paths.assign_matrix(frontier, accum=types.FP32.PLUS)
+        frontier = frontier.mxm(A, semiring=types.FP32.plus_first,
+                                mask=paths, desc=descriptor.RC)
+
+    bc = Matrix.dense(types.FP32, ns, n, fill=1.0)
+
+    # backward dependency accumulation
+    for i in range(len(S) - 1, 0, -1):
+        W = bc.emult(paths, types.FP32.DIV, mask=S[i], desc=descriptor.RS)
+        W = W.mxm(AT, semiring=types.FP32.plus_first, mask=S[i - 1],
+                  desc=descriptor.RS)
+        W.emult(paths, types.FP32.TIMES, out=bc, accum=types.FP32.PLUS)
+
+    centrality = bc.reduce_vector(types.FP32.PLUS_MONOID,
+                                  desc=descriptor.T0)
+    return centrality.apply_second(types.FP32.MINUS, float(ns))
+
+
+def k_truss(A, k):
+    """k-truss subgraph: every retained edge supports >= k-2 triangles
+    (reference demo `K-Truss.ipynb`)."""
+    C = A.cast(types.INT64)
+    nvals_last = -1
+    while True:
+        # per-edge support = number of wedges closing the edge
+        C = C.mxm(C, semiring=types.INT64.plus_pair, mask=C,
+                  desc=descriptor.RS)
+        C = C.select(">=", k - 2)
+        if C.nvals == nvals_last:
+            return C
+        nvals_last = C.nvals
+
+
+def triangle_centrality(A):
+    """Triangle centrality (Burkhardt 2021, reference demo
+    `TriangleCentrality.ipynb`): importance by triangle participation."""
+    T = A.mxm(A, semiring=types.FP64.plus_pair, mask=A, cast=types.FP64)
+    y = T.reduce_vector(types.FP64.PLUS_MONOID)
+    k = y.reduce_float()
+    if k == 0:
+        return Vector.dense(types.FP64, A.nrows, fill=0.0)
+    T_pattern = T.pattern(types.FP64)
+    yp = T_pattern.mxv(y, semiring=types.FP64.plus_second)
+    center = A.mxv(y, semiring=types.FP64.plus_second)
+    # Burkhardt: TC = (3*A@y - 2*That@y + y) / k
+    out = center.apply_second(types.FP64.TIMES, 3.0)
+    out = out.eadd(yp.apply_second(types.FP64.TIMES, -2.0), types.FP64.PLUS)
+    out = out.eadd(y, types.FP64.PLUS)
+    return out.apply_second(types.FP64.DIV, k)
+
+
+def dnn(W, B, Y):
+    """GraphChallenge sparse DNN inference (reference
+    ``demo/dnn/dnn.py:14-25``): per-layer Y@W, bias via PLUS_PLUS, ReLU
+    select, clip at 32."""
+    for w, b in zip(W, B):
+        Y = Y @ w
+        with types.FP32.PLUS_PLUS:
+            Y = Y.mxm(b)
+        Y = Y.select(">0")
+        M = Y.select(">", 32)
+        if len(M):
+            Y[M] = 32
+    return Y

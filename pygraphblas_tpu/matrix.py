@@ -1331,9 +1331,13 @@ class Matrix:
             thunk = thunk[0]
         if thunk is None:
             thunk = DEFAULT_THUNKS.get(op.name) or 0
+        if op.name in ("TRIL", "TRIU", "DIAG", "OFFDIAG"):
+            thunk = np.int64(thunk)  # positional offset, not a value
+        else:
+            thunk = self.type._coerce(thunk)
         mask, accum, desc = self._get_args(mask, accum, desc)
         v, m = self._dense_pair(desc.inp0)
-        tv, tm = dk.select(v, m, self.type._coerce(thunk), op)
+        tv, tm = dk.select(v, m, thunk, op)
         return self._writeback(out, tv, tm, mask, accum, desc)
 
     def tril(self, offset=None):

@@ -1,0 +1,145 @@
+"""Algorithm correctness vs networkx/scipy oracles (the reference
+validates its demo algorithms the same way, e.g. Louvain vs
+python-louvain; SURVEY §4)."""
+
+import numpy as np
+import networkx as nx
+import pytest
+
+from pygraphblas_tpu import Matrix, Vector, types
+from pygraphblas_tpu.algorithms import (
+    bfs_level,
+    bfs_parents,
+    pagerank,
+    sssp,
+    triangle_count,
+    betweenness_centrality,
+    k_truss,
+    triangle_centrality,
+    dnn,
+)
+
+
+def nx_to_matrix(G, typ=types.BOOL):
+    n = G.number_of_nodes()
+    I, J = [], []
+    for u, v in G.edges():
+        I.append(u)
+        J.append(v)
+        if not G.is_directed():
+            I.append(v)
+            J.append(u)
+    return Matrix.from_lists(I, J, [typ.default_one] * len(I), n, n, typ=typ)
+
+
+@pytest.fixture(scope="module")
+def karate():
+    return nx.karate_club_graph()
+
+
+def test_bfs_level(karate):
+    A = nx_to_matrix(karate)
+    lv = bfs_level(A, 0)
+    expect = nx.single_source_shortest_path_length(karate, 0)
+    got = dict(iter(lv))
+    assert set(got) == set(expect)
+    for node, d in expect.items():
+        assert got[node] == d + 1  # our levels are 1-based
+
+
+def test_bfs_parents(karate):
+    A = nx_to_matrix(karate)
+    pi = bfs_parents(A, 0)
+    dist = nx.single_source_shortest_path_length(karate, 0)
+    got = dict(iter(pi))
+    assert set(got) == set(dist)
+    assert got[0] == 0
+    for node, parent in got.items():
+        if node != 0:
+            assert karate.has_edge(parent, node)
+            assert dist[parent] == dist[node] - 1
+
+
+def test_pagerank(karate):
+    A = nx_to_matrix(karate, types.FP32)
+    r = pagerank(A, damping=0.85, itermax=100, tol=1e-6)
+    expect = nx.pagerank(karate, alpha=0.85, tol=1e-10, weight=None)
+    got = r.to_numpy()
+    for node, val in expect.items():
+        assert abs(got[node] - val) < 1e-3
+
+
+def test_sssp():
+    G = nx.DiGraph()
+    G.add_weighted_edges_from([
+        (0, 1, 9.0), (0, 3, 3.0), (1, 2, 8.0), (3, 4, 6.0), (3, 5, 1.0),
+        (4, 2, 4.0), (1, 5, 7.0), (5, 4, 2.0),
+    ])
+    A = Matrix.sparse(types.FP64, 6, 6)
+    for u, v, w in G.edges(data="weight"):
+        A[u, v] = w
+    d = sssp(A, 0)
+    expect = nx.single_source_dijkstra_path_length(G, 0)
+    got = dict(iter(d))
+    assert set(got) == set(expect)
+    for node, dist in expect.items():
+        assert got[node] == dist
+
+
+def test_triangle_count(karate):
+    A = nx_to_matrix(karate)
+    expect = sum(nx.triangles(karate).values()) // 3
+    assert triangle_count(A, "sandia") == expect
+    assert triangle_count(A, "cohen") == expect
+    assert triangle_count(A, "sandia_dot") == expect
+
+
+def test_betweenness(karate):
+    A = nx_to_matrix(karate, types.FP32)
+    n = A.nrows
+    got = betweenness_centrality(A, list(range(n))).to_numpy()
+    expect = nx.betweenness_centrality(karate, normalized=False)
+    for node, val in expect.items():
+        assert abs(got[node] - 2 * val) < 1e-2  # nx halves undirected counts
+
+
+def test_k_truss():
+    # two triangles sharing an edge + a pendant edge
+    G = nx.Graph([(0, 1), (1, 2), (0, 2), (1, 3), (2, 3), (3, 4)])
+    A = nx_to_matrix(G, types.INT64)
+    t3 = k_truss(A, 3)  # every edge in >=1 triangle survives
+    assert t3.nvals == 10  # all but the pendant edge (both directions)
+    # 4-truss: every edge must support >=2 triangles; only (1,2) does, and
+    # removing its neighbors' edges cascades to the empty graph.
+    t4 = k_truss(A, 4)
+    assert t4.nvals == 0
+
+
+def test_triangle_centrality(karate):
+    A = nx_to_matrix(karate, types.FP64)
+    tc = triangle_centrality(A)
+    got = tc.to_numpy()
+    # independent dense computation of Burkhardt's closed form
+    An = nx.to_numpy_array(karate, weight=None)
+    T = (An @ An) * An
+    y = T.sum(axis=1)
+    k = y.sum()
+    That = (T > 0).astype(float)
+    expect = (3 * An @ y - 2 * That @ y + y) / k
+    assert np.allclose(got, expect, atol=1e-9)
+
+
+def test_dnn_small():
+    # 2-layer toy DNN: weights identity, bias -0.5 -> ReLU keeps positives
+    n = 4
+    Y = Matrix.sparse(types.FP32, 2, n)
+    Y[0, 0] = 1.0
+    Y[0, 1] = 0.2
+    Y[1, 2] = 2.0
+    W = [Matrix.identity(types.FP32, n), Matrix.identity(types.FP32, n)]
+    B = [Matrix.identity(types.FP32, n, value=-0.5) for _ in range(2)]
+    out = dnn(W, B, Y)
+    # (0,0): 1.0 -> 0.5 -> 0.0, dropped by ReLU; (0,1): dropped layer 1;
+    # (1,2): 2.0 -> 1.5 -> 1.0 survives
+    assert out.nvals == 1
+    assert out[1, 2] == 1.0
