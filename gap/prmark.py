@@ -1,0 +1,57 @@
+"""GAP PageRank benchmark driver (reference: ``gap/prmark.py``).
+
+Usage: python gap/prmark.py [--scale N] [--rounds R] [--graph kron|urand]
+Loads/generates the graph, runs PageRank for the configured rounds, and
+prints per-round wall time, mean, and nnz/s.
+"""
+
+import argparse
+import time
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--scale", type=int, default=18)
+    p.add_argument("--edgefactor", type=int, default=16)
+    p.add_argument("--rounds", type=int, default=3)
+    p.add_argument("--graph", default="kron", choices=["kron", "urand"])
+    p.add_argument("--binfile", default=None,
+                   help="load a .npz binary checkpoint instead of generating")
+    args = p.parse_args()
+
+    from pygraphblas_tpu import types
+    from pygraphblas_tpu.matrix import Matrix
+    from pygraphblas_tpu.generators import rmat_edges, urand_edges, to_matrix
+    from pygraphblas_tpu.algorithms import pagerank
+
+    if args.binfile:
+        A = Matrix.binread(args.binfile)
+        nnz = A.nvals
+    else:
+        gen = rmat_edges if args.graph == "kron" else urand_edges
+        rows, cols, n = gen(args.scale, args.edgefactor)
+        A = to_matrix(rows, cols, n, types.FP32)
+        nnz = len(rows)
+
+    d = A.reduce_vector(types.FP32.PLUS_MONOID)
+
+    times = []
+    for r in range(args.rounds):
+        start = time.perf_counter()
+        result = pagerank(A, damping=0.85, itermax=100, tol=1e-4, d=d.dup())
+        result.wait()
+        elapsed = time.perf_counter() - start
+        times.append(elapsed)
+        print(f"round {r}: {elapsed:.4f}s")
+    mean = sum(times) / len(times)
+    print(f"mean: {mean:.4f}s  nnz/s per full run: {nnz / mean:.3e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,21 @@ def _segment_reduce(monoid_name, data, segment_ids, num_segments, ident):
     raise NotImplementedError(f"segment reduce for monoid {monoid_name}")
 
 
+@partial(jax.jit, static_argnames=("monoid", "out_dtype", "out_size"))
+def coo_segment_reduce(ids, vals, monoid, out_dtype, out_size):
+    """Monoid-reduce COO values by row (or column) id into a dense
+    (vals, mask) vector pair."""
+    out_dtype = np.dtype(out_dtype)
+    name = monoid.binaryop.op if monoid.binaryop.builtin else None
+    ident = jnp.asarray(monoid.identity(out_dtype))
+    data = vals.astype(out_dtype)
+    y = _segment_reduce(name, data, ids, out_size, ident)
+    cnt = jax.ops.segment_sum(jnp.ones(ids.shape, jnp.int32), ids, out_size)
+    y_mask = cnt > 0
+    y = jnp.where(y_mask, y.astype(out_dtype), jnp.zeros((), out_dtype))
+    return y, y_mask
+
+
 @partial(jax.jit, static_argnames=("semiring", "out_dtype", "out_size"))
 def coo_spmv(ids_out, ids_in, vals, x_vals, x_mask, semiring, out_dtype,
              out_size):

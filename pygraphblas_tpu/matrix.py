@@ -85,6 +85,7 @@ class Matrix:
         "_pending",     # list[(i, j, v)]
         "_nvals_c",     # cached host nvals (or None)
         "_host_c",      # cached host (vals, mask) snapshot for bitmap
+        "_dev_coo_c",   # cached device COO triples for sparse kernels
         "_format",      # BY_ROW / BY_COL orientation hint
         "_hyper_switch",
         "_sparsity",
@@ -101,6 +102,7 @@ class Matrix:
         self._pending = []
         self._nvals_c = None
         self._host_c = None
+        self._dev_coo_c = None
         self._format = config.format
         self._hyper_switch = config.hyper_switch
         self._sparsity = 15  # GxB_AUTO_SPARSITY
@@ -121,6 +123,11 @@ class Matrix:
     @staticmethod
     def _fits_bitmap(nrows, ncols):
         return nrows * ncols <= config.bitmap_max_cells
+
+    @property
+    def _is_huge(self):
+        """True when this matrix can only live in sparse (COO) form."""
+        return not self._fits_bitmap(self._nrows, self._ncols)
 
     @classmethod
     def sparse(cls, typ, nrows=None, ncols=None, fill=None, mask=None):
@@ -416,6 +423,7 @@ class Matrix:
     def _invalidate(self):
         self._nvals_c = None
         self._host_c = None
+        self._dev_coo_c = None
 
     def _build(self, I, J, V):
         """Bulk-build from COO triples (later duplicates win)."""
@@ -1099,6 +1107,16 @@ class Matrix:
                       else (self._ncols, self._nrows))
             typ = cast if cast is not None else self.type
             out = Matrix.sparse(typ, nr, nc)
+        if self._is_huge:
+            # sparse path: host index swap + re-sort (O(nnz log nnz))
+            if mask is not None or accum is not None:
+                raise InsufficientSpace(
+                    "masked/accumulated transpose on huge matrices TBD")
+            r, c, v = self._coo()
+            if really_transpose:
+                r, c = c, r
+            out._build(r, c, v.astype(out.type._numpy_t))
+            return out
         v, m = self._dense_pair()
         if really_transpose:
             v, m = v.T, m.T
@@ -1248,6 +1266,18 @@ class Matrix:
         ztype = op.ztype(self.type)
         if out is None:
             out = Matrix.sparse(ztype, self._nrows, self._ncols)
+        if self._is_huge:
+            if mask is not None or accum is not None:
+                raise InsufficientSpace(
+                    "masked/accumulated apply on huge matrices TBD")
+            r, c, v = self._coo()
+            if op.positional:
+                pos = dict(i=jnp.asarray(r), j=jnp.asarray(c))
+                nv = op.apply(None, pos)
+            else:
+                nv = op.apply(jnp.asarray(v))
+            out._build(r, c, np.asarray(nv).astype(out.type._numpy_t))
+            return out
         v, m = self._dense_pair(desc.inp0)
         tv, tm = dk.apply_unary(v, m, op, ztype._jnp_dtype())
         return self._writeback(out, tv, tm, mask, accum, desc)
@@ -1336,6 +1366,16 @@ class Matrix:
         else:
             thunk = self.type._coerce(thunk)
         mask, accum, desc = self._get_args(mask, accum, desc)
+        if self._is_huge:
+            if mask is not None or accum is not None:
+                raise InsufficientSpace(
+                    "masked/accumulated select on huge matrices TBD")
+            r, c, v = self._coo()
+            keep = np.asarray(op.apply(jnp.asarray(r), jnp.asarray(c),
+                                       jnp.asarray(v), thunk))
+            out._build(r[keep], c[keep],
+                       v[keep].astype(out.type._numpy_t))
+            return out
         v, m = self._dense_pair(desc.inp0)
         tv, tm = dk.select(v, m, thunk, op)
         return self._writeback(out, tv, tm, mask, accum, desc)
@@ -1412,13 +1452,17 @@ class Matrix:
     # reductions
     # ------------------------------------------------------------------
 
-    def _reduce_scalar(self, mon, accum=None):
-        mon = mon or current_monoid.get(None) or self.type.PLUS_MONOID
-        if isinstance(mon, BinaryOp):  # allow passing a binop family
-            mon = getattr(self.type, mon.op + "_MONOID")
-        v, m = self._dense_pair()
-        r = dk.reduce_all(v, m, mon)
-        return r
+    def _reduce_pair(self):
+        """(vals, mask) arrays for reduction: dense pair, or the COO value
+        vector (every stored value present) for huge matrices."""
+        if self._is_huge:
+            _, _, v = self._coo()
+            vj = jnp.asarray(v) if v.size else \
+                jnp.zeros((1,), self.type._jnp_dtype())
+            mj = jnp.ones(vj.shape, jnp.bool_) if v.size else \
+                jnp.zeros((1,), jnp.bool_)
+            return vj, mj
+        return self._dense_pair()
 
     def reduce_bool(self, mon=None, mask=None, accum=None, desc=None):
         """Reduce to a boolean with the given monoid (default LOR).
@@ -1429,7 +1473,7 @@ class Matrix:
         """
         if mon is None:
             mon = current_monoid.get(None) or types.BOOL.LOR_MONOID
-        v, m = self._dense_pair()
+        v, m = self._reduce_pair()
         return bool(dk.reduce_all(v.astype(jnp.bool_) if v.dtype != jnp.bool_
                                   else v, m, mon))
 
@@ -1442,7 +1486,7 @@ class Matrix:
         """
         if mon is None:
             mon = current_monoid.get(None) or types.INT64.PLUS_MONOID
-        v, m = self._dense_pair()
+        v, m = self._reduce_pair()
         return int(dk.reduce_all(v.astype(jnp.int64), m, mon))
 
     def reduce_float(self, mon=None, mask=None, accum=None, desc=None):
@@ -1454,7 +1498,7 @@ class Matrix:
         """
         if mon is None:
             mon = current_monoid.get(None) or self.type.PLUS_MONOID
-        v, m = self._dense_pair()
+        v, m = self._reduce_pair()
         return float(dk.reduce_all(v.astype(jnp.float64), m, mon))
 
     def reduce(self, mon=None, accum=None, desc=None):
@@ -1469,7 +1513,7 @@ class Matrix:
             if mon is None:
                 mon = getattr(self.type,
                               self.type._default_addop().op + "_MONOID")
-        v, m = self._dense_pair()
+        v, m = self._reduce_pair()
         return self.type._to_value(
             np.asarray(dk.reduce_all(v, m, mon)).astype(self.type._numpy_t))
 
@@ -1492,6 +1536,14 @@ class Matrix:
                 mon = getattr(typ, typ._default_addop().op + "_MONOID")
         if out is None:
             out = Vector.sparse(typ, self._ncols if desc.inp0 else self._nrows)
+        if self._is_huge:
+            from .core import sparse as sk
+
+            rows, cols, vals = self._device_coo()
+            ids = cols if desc.inp0 else rows
+            tv, tm = sk.coo_segment_reduce(
+                ids, vals, mon, np.dtype(out.type._numpy_t), out.size)
+            return out._writeback(out, tv, tm, mask, accum, desc)
         v, m = self._dense_pair(desc.inp0)
         tv, tm = dk.reduce_axis(v, m, mon, 1)
         return out._writeback(out, tv.astype(out.type._jnp_dtype()), tm,
@@ -1603,9 +1655,16 @@ class Matrix:
         return out._writeback(out, tv, tm, mask, accum, desc)
 
     def _device_coo(self):
-        """Device copies of the canonical COO triples."""
+        """Device copies of the canonical COO triples (cached; int32
+        indices when dimensions allow, for TPU-native gathers)."""
+        self._flush()
+        if self._dev_coo_c is not None:
+            return self._dev_coo_c
         r, c, v = self._coo()
-        return jnp.asarray(r), jnp.asarray(c), jnp.asarray(v)
+        idt = np.int32 if max(self._nrows, self._ncols) < 2**31 else np.int64
+        self._dev_coo_c = (jnp.asarray(r.astype(idt)),
+                           jnp.asarray(c.astype(idt)), jnp.asarray(v))
+        return self._dev_coo_c
 
     def __matmul__(self, other):
         from .vector import Vector
