@@ -1,0 +1,252 @@
+"""Graph and matrix visualization helpers.
+
+Graphviz node/edge drawings, PIL raster heatmaps, and notebook exports
+(API surface per the reference ``pygraphblas/gviz.py``: draw_graph,
+draw_matrix, draw_vector, draw_matrix_op, draw_layers, draw_cy,
+draw_vis).  Optional dependencies are imported lazily.
+"""
+
+__all__ = [
+    "draw",
+    "draw_graph",
+    "draw_matrix",
+    "draw_vector",
+    "draw_matrix_op",
+    "draw_layers",
+    "draw_graph_op",
+    "draw_cy",
+    "draw_vis",
+]
+
+
+def _require(modname):
+    import importlib
+
+    try:
+        return importlib.import_module(modname)
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            f"{modname} is required for this visualization helper") from e
+
+
+def draw_graph(M, name="", rankdir="LR", show_weight=True, concentrate=True,
+               label_vector=None, label_width=None, size_vector=None,
+               size_scale=1.0, filename=None, directed=True, B=None,
+               graph_attr=None, node_attr=None, edge_attr=None):
+    """Draw a Matrix as a graphviz node/edge graph.
+
+    With `B` given, draw the bipartite/incidence form (hypergraph mode,
+    reference gviz.py:118-123).
+
+    >>> from pygraphblas_tpu import Matrix
+    >>> M = Matrix.from_lists([0, 1], [1, 0], [1, 2])
+    >>> g = draw_graph(M)
+    >>> 'digraph' in g.source
+    True
+    """
+    gv = _require("graphviz")
+    cls = gv.Digraph if directed else gv.Graph
+    g = cls(name, graph_attr=graph_attr or {}, node_attr=node_attr or {},
+            edge_attr=edge_attr or {})
+    g.attr(rankdir=rankdir)
+    if concentrate:
+        g.attr(concentrate="true")
+
+    def node_label(i):
+        if label_vector is not None:
+            lbl = label_vector.get(i)
+            if lbl is not None:
+                s = str(lbl)
+                return s[:label_width] if label_width else s
+        return str(i)
+
+    def node_size(i):
+        if size_vector is not None:
+            s = size_vector.get(i)
+            if s is not None:
+                return str(float(s) * size_scale)
+        return None
+
+    seen = set()
+
+    def add_node(i):
+        if i in seen:
+            return
+        seen.add(i)
+        attrs = {}
+        sz = node_size(i)
+        if sz:
+            attrs["width"] = sz
+        g.node(str(i), node_label(i), **attrs)
+
+    if B is not None:
+        # incidence / hypergraph drawing: M maps nodes->edges, B edges->nodes
+        for i, j, v in M:
+            add_node(i)
+            g.node(f"e{j}", shape="point")
+            g.edge(str(i), f"e{j}", label=str(v) if show_weight else None)
+        for i, j, v in B:
+            g.edge(f"e{i}", str(j), label=str(v) if show_weight else None)
+    else:
+        for i, j, v in M:
+            add_node(i)
+            add_node(j)
+            g.edge(str(i), str(j), label=str(v) if show_weight else None)
+
+    if filename is not None:
+        g.render(filename, format="png", cleanup=True)
+    return g
+
+
+draw = draw_graph
+
+
+def draw_graph_op(left, op, right, result, **kwargs):  # pragma: no cover
+    """Draw `left op right = result` as graphs side by side."""
+    gv = _require("graphviz")
+    g = gv.Digraph()
+    for label, m in (("A", left), (op, right), ("=", result)):
+        sub = draw_graph(m, name=f"cluster_{label}")
+        g.subgraph(sub)
+    return g
+
+
+def _val_to_color(val, vmin, vmax, cmap=None):
+    if cmap is not None:
+        import matplotlib.cm
+        import matplotlib.colors
+
+        norm = matplotlib.colors.Normalize(vmin=vmin, vmax=vmax)
+        mapper = matplotlib.cm.ScalarMappable(norm=norm, cmap=cmap)
+        r, g, b, _ = mapper.to_rgba(val)
+        return (int(r * 255), int(g * 255), int(b * 255))
+    span = (vmax - vmin) or 1.0
+    level = int(255 * (float(val) - vmin) / span)
+    return (level, level, level)
+
+
+def draw_matrix(M, scale=10, axes=True, cmap="viridis", filename=None,
+                mode="RGB", background=(255, 255, 255)):
+    """Draw a Matrix as a PIL raster heatmap (one cell per element).
+
+    >>> from pygraphblas_tpu import Matrix
+    >>> M = Matrix.from_lists([0, 1], [1, 0], [1, 2])
+    >>> img = draw_matrix(M, scale=4)
+    >>> img.size
+    (12, 12)
+    """
+    pil = _require("PIL.Image")
+    w = (M.ncols + 1) * scale
+    h = (M.nrows + 1) * scale
+    img = pil.new(mode, (w, h), background)
+    try:
+        vmin = float(min(M.V)) if M.nvals else 0.0
+        vmax = float(max(M.V)) if M.nvals else 1.0
+    except TypeError:
+        vmin, vmax = 0.0, 1.0
+    px = img.load()
+    for i, j, v in M:
+        color = _val_to_color(float(v), vmin, vmax, cmap)
+        for dy in range(scale):
+            for dx in range(scale):
+                x = (j + 1) * scale + dx
+                y = (i + 1) * scale + dy
+                if x < w and y < h:
+                    px[x, y] = color
+    if axes:
+        for k in range(w):
+            px[k, scale - 1] = (0, 0, 0)
+        for k in range(h):
+            px[scale - 1, k] = (0, 0, 0)
+    if filename is not None:  # pragma: no cover
+        img.save(str(filename) + ".png")
+    return img
+
+
+def draw_vector(V, scale=10, cmap="viridis", filename=None):
+    """Draw a Vector as a 1-column heatmap.
+
+    >>> from pygraphblas_tpu import Vector
+    >>> img = draw_vector(Vector.from_list([1, 2, 3]), scale=4)
+    >>> img.size[1]
+    16
+    """
+    from .matrix import Matrix
+
+    m = Matrix.sparse(V.type, V.size, 1)
+    for i, v in V:
+        m[i, 0] = v
+    return draw_matrix(m, scale=scale, cmap=cmap, filename=filename)
+
+
+def draw_matrix_op(left, op, right, result, scale=10, cmap="viridis",
+                   filename=None):  # pragma: no cover
+    """Draw `left op right = result` as heatmap images side by side."""
+    pil = _require("PIL.Image")
+    draw_font = _require("PIL.ImageDraw")
+    imgs = [draw_matrix(left, scale=scale, cmap=cmap),
+            draw_matrix(right, scale=scale, cmap=cmap),
+            draw_matrix(result, scale=scale, cmap=cmap)]
+    gap = scale * 3
+    w = sum(i.size[0] for i in imgs) + 2 * gap
+    h = max(i.size[1] for i in imgs)
+    out = pil.new("RGB", (w, h), (255, 255, 255))
+    x = 0
+    labels = [op, "="]
+    d = draw_font.Draw(out)
+    for k, img in enumerate(imgs):
+        out.paste(img, (x, 0))
+        x += img.size[0]
+        if k < 2:
+            d.text((x + scale, h // 2), labels[k], fill=(0, 0, 0))
+            x += gap
+    if filename is not None:
+        out.save(str(filename) + ".png")
+    return out
+
+
+def draw_layers(layers, scale=10, cmap="viridis",
+                filename=None):  # pragma: no cover
+    """Draw a multi-layer (DNN) stack of matrices."""
+    pil = _require("PIL.Image")
+    imgs = [draw_matrix(m, scale=scale, cmap=cmap) for m in layers]
+    gap = scale * 2
+    w = sum(i.size[0] for i in imgs) + gap * (len(imgs) - 1)
+    h = max(i.size[1] for i in imgs)
+    out = pil.new("RGB", (w, h), (255, 255, 255))
+    x = 0
+    for img in imgs:
+        out.paste(img, (x, 0))
+        x += img.size[0] + gap
+    if filename is not None:
+        out.save(str(filename) + ".png")
+    return out
+
+
+def draw_cy(M, name="graph"):  # pragma: no cover
+    """Export to a Cytoscape-widget-compatible dict."""
+    nodes = set()
+    edges = []
+    for i, j, v in M:
+        nodes.add(i)
+        nodes.add(j)
+        edges.append({"data": {"source": str(i), "target": str(j),
+                               "weight": float(v)}})
+    return {
+        "elements": {
+            "nodes": [{"data": {"id": str(n)}} for n in sorted(nodes)],
+            "edges": edges,
+        },
+        "name": name,
+    }
+
+
+def draw_vis(M, notebook=True, **kwargs):  # pragma: no cover
+    """Export to a pyvis Network (requires the optional pyvis package)."""
+    pyvis = _require("pyvis.network")
+    net = pyvis.Network(notebook=notebook, **kwargs)
+    for i, j, v in M:
+        net.add_node(int(i))
+        net.add_node(int(j))
+        net.add_edge(int(i), int(j), value=float(v))
+    return net

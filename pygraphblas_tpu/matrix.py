@@ -86,6 +86,7 @@ class Matrix:
         "_nvals_c",     # cached host nvals (or None)
         "_host_c",      # cached host (vals, mask) snapshot for bitmap
         "_dev_coo_c",   # cached device COO triples for sparse kernels
+        "_ell_c",       # cached degree-binned ELL format per orientation
         "_format",      # BY_ROW / BY_COL orientation hint
         "_hyper_switch",
         "_sparsity",
@@ -103,6 +104,7 @@ class Matrix:
         self._nvals_c = None
         self._host_c = None
         self._dev_coo_c = None
+        self._ell_c = None
         self._format = config.format
         self._hyper_switch = config.hyper_switch
         self._sparsity = 15  # GxB_AUTO_SPARSITY
@@ -424,6 +426,7 @@ class Matrix:
         self._nvals_c = None
         self._host_c = None
         self._dev_coo_c = None
+        self._ell_c = None
 
     def _build(self, I, J, V):
         """Bulk-build from COO triples (later duplicates win)."""
@@ -1642,16 +1645,39 @@ class Matrix:
                         np.dtype(semiring.ztype._numpy_t))
         return out._writeback(out, tv[:, 0], tm[:, 0], mask, accum, desc)
 
+    def _ell(self, transpose):
+        """Degree-binned ELL view for SpMV, cached per orientation."""
+        from .core.ell import EllFormat
+
+        if self._ell_c is None:
+            self._ell_c = {}
+        key = bool(transpose)
+        if key not in self._ell_c:
+            r, c, v = self._coo()
+            out_dim = self._ncols if transpose else self._nrows
+            if transpose:
+                r, c, v = ck.build(c, r, v, v.dtype)
+            self._ell_c[key] = EllFormat(r, c, v, out_dim)
+        return self._ell_c[key]
+
     def _sparse_mxv(self, other, semiring, out, mask, accum, desc,
                     transpose):
-        """SpMV over device COO index arrays (huge matrices)."""
+        """SpMV for huge matrices: degree-binned ELL kernel (gather +
+        dense row-reduce) when the algebra allows, else COO segment
+        reduce."""
         from .core import sparse as sk
+        from .core import ell as ek
 
-        rows, cols, vals = self._device_coo()
-        ids_out, ids_in = (cols, rows) if transpose else (rows, cols)
         xv, xm = other._dense_pair()
-        tv, tm = sk.coo_spmv(ids_out, ids_in, vals, xv, xm, semiring,
-                             np.dtype(semiring.ztype._numpy_t), out.size)
+        zt = np.dtype(semiring.ztype._numpy_t)
+        if ek.ell_supported(semiring):
+            tv, tm = ek.ell_spmv(self._ell(transpose), xv, xm, semiring,
+                                 zt, out.size)
+        else:
+            rows, cols, vals = self._device_coo()
+            ids_out, ids_in = (cols, rows) if transpose else (rows, cols)
+            tv, tm = sk.coo_spmv(ids_out, ids_in, vals, xv, xm, semiring,
+                                 zt, out.size)
         return out._writeback(out, tv, tm, mask, accum, desc)
 
     def _device_coo(self):
