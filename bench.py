@@ -20,43 +20,29 @@ import numpy as np
 def main():
     scale = int(os.environ.get("BENCH_SCALE", "20"))
     edgefactor = int(os.environ.get("BENCH_EDGEFACTOR", "16"))
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    iters = int(os.environ.get("BENCH_ITERS", "50"))
 
     import jax
+    import jax.numpy as jnp
 
-    from pygraphblas_tpu import types, descriptor
+    from pygraphblas_tpu import types, fused
     from pygraphblas_tpu.generators import rmat_edges, to_matrix
-    from pygraphblas_tpu.matrix import Matrix
-    from pygraphblas_tpu.vector import Vector
 
     rows, cols, n = rmat_edges(scale, edgefactor)
     nnz = len(rows)
     A = to_matrix(rows, cols, n, types.FP32)
 
-    # degree-normalized transposed plus_second SpMV (the PageRank kernel,
-    # gap/prmark.py formulation)
-    d = A.reduce_vector(types.FP32.PLUS_MONOID)
-    damping = np.float32(0.85)
-    d = d.apply_second(types.FP32.DIV, damping)
-    r = Vector.dense(types.FP32, n, fill=np.float32(1.0 / n))
-    t = Vector.dense(types.FP32, n, fill=np.float32(0.0))
-    teleport = np.float32((1 - damping) / n)
-
-    def step(r, t):
-        w = r.emult(d, types.FP32.DIV)
-        t.assign_scalar(teleport)
-        A.mxv(w, out=t, accum=types.FP32.PLUS,
-              semiring=types.FP32.plus_second, desc=descriptor.T0)
-        return t, r
-
-    # warmup (compile)
-    r, t = step(r, t)
+    # whole-loop-fused PageRank: the iteration loop is a single XLA
+    # executable over the degree-binned ELL arrays (fused.py); tol=0
+    # forces exactly `iters` iterations for a clean nnz/s measurement
+    r = fused.pagerank(A, itermax=2, tol=0.0)  # warmup/compile(2-iter)
+    r.wait()
+    r = fused.pagerank(A, itermax=iters, tol=0.0)  # compile(full)
     r.wait()
 
     start = time.perf_counter()
-    for _ in range(iters):
-        r, t = step(r, t)
-    r.wait()
+    r = fused.pagerank(A, itermax=iters, tol=0.0)
+    float(jnp.sum(r._vals))  # hard sync through the host
     elapsed = time.perf_counter() - start
 
     nnz_per_s = nnz * iters / elapsed

@@ -1649,6 +1649,7 @@ class Matrix:
         """Degree-binned ELL view for SpMV, cached per orientation."""
         from .core.ell import EllFormat
 
+        self._flush()  # before touching the cache: flush resets it
         if self._ell_c is None:
             self._ell_c = {}
         key = bool(transpose)
