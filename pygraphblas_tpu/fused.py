@@ -5,10 +5,10 @@ The eager container API dispatches one compiled kernel per GraphBLAS
 call — convenient, but each dispatch pays host->device latency and
 prevents cross-op fusion.  For the iterative workloads (PageRank, BFS,
 SSSP) this module compiles the ENTIRE loop into a single executable over
-the matrix's cached ELL arrays: zero per-iteration dispatches, XLA
-fusion across the update expressions, and convergence checks staying on
-device.  This is the TPU-native "production path"; results match the
-eager `algorithms` implementations.
+the matrix's cached csr8 SpMV plan (core/csr8.py): zero per-iteration
+dispatches, XLA fusion across the update expressions, and convergence
+checks staying on device.  This is the TPU-native "production path";
+results match the eager `algorithms` implementations.
 """
 
 from functools import partial
@@ -18,61 +18,37 @@ import jax
 import jax.numpy as jnp
 
 from .vector import Vector
+from .core import csr8
 from . import types
 
 __all__ = ["pagerank", "bfs_level", "sssp"]
 
 
-def _ell_arrays(A, transpose):
-    ell = A._ell(transpose)
-    return (tuple(ell.cols), tuple(ell.vals), tuple(ell.valid_counts),
-            ell.vrow_rows, tuple(ell.widths))
+def _plan_args(A, transpose):
+    plan = A._spmv_plan(transpose)
+    return plan, (plan.cols_p, plan.vals_p, tuple(plan.levels),
+                  plan.final_src)
 
 
-def _spmv_plus_second(cols_list, vals_list, cnt_list, vrow_rows, widths,
-                      out_size, x):
-    """y = A (+.second) x with x dense: y[i] = sum_j:A[i,j] x[j]."""
-    parts = []
-    for cm, vm, cnt in zip(cols_list, vals_list, cnt_list):
-        lane = jax.lax.broadcasted_iota(jnp.int32, cm.shape, 1)
-        valid = lane < cnt[:, None]
-        xg = x[cm]
-        parts.append(jnp.sum(jnp.where(valid, xg, 0.0), axis=1))
-    all_parts = jnp.concatenate(parts) if parts else jnp.zeros((0,), x.dtype)
-    return jax.ops.segment_sum(all_parts, vrow_rows, out_size)
+def _spmv(plan_cols, plan_vals, levels, final_src, n_blocks, x, mul, add,
+          ident, ident_x):
+    """Semiring SpMV over csr8 plan arrays with dense x."""
+
+    class _P:
+        pass
+
+    plan = _P()
+    plan.n_blocks = n_blocks
+    plan.levels = levels
+    plan.final_src = final_src
+    x_ext = jnp.concatenate([x, ident_x[None]])
+    xe = x_ext[plan_cols]
+    prod = mul(plan_vals, xe)
+    return csr8.reduce_partials(plan, prod, add, ident)
 
 
-def _spmv_lor_second_bool(cols_list, cnt_list, vrow_rows, widths, out_size,
-                          frontier):
-    """y = A (lor.second) frontier over booleans."""
-    parts = []
-    for cm, cnt in zip(cols_list, cnt_list):
-        lane = jax.lax.broadcasted_iota(jnp.int32, cm.shape, 1)
-        valid = lane < cnt[:, None]
-        fg = frontier[cm]
-        parts.append(jnp.any(jnp.logical_and(valid, fg), axis=1))
-    all_parts = (jnp.concatenate(parts) if parts
-                 else jnp.zeros((0,), jnp.bool_))
-    return jax.ops.segment_max(all_parts.astype(jnp.int8), vrow_rows,
-                               out_size) > 0
-
-
-def _spmv_min_plus(cols_list, vals_list, cnt_list, vrow_rows, widths,
-                   out_size, x):
-    """y = A (min.+) x with x dense (inf = absent)."""
-    inf = jnp.asarray(np.inf, x.dtype)
-    parts = []
-    for cm, vm, cnt in zip(cols_list, vals_list, cnt_list):
-        lane = jax.lax.broadcasted_iota(jnp.int32, cm.shape, 1)
-        valid = lane < cnt[:, None]
-        xg = x[cm]
-        parts.append(jnp.min(jnp.where(valid, vm + xg, inf), axis=1))
-    all_parts = jnp.concatenate(parts) if parts else jnp.zeros((0,), x.dtype)
-    return jax.ops.segment_min(all_parts, vrow_rows, out_size)
-
-
-@partial(jax.jit, static_argnames=("widths", "n", "itermax"))
-def _pagerank_loop(cols_list, vals_list, cnt_list, vrow_rows, widths,
+@partial(jax.jit, static_argnames=("n", "n_blocks", "itermax"))
+def _pagerank_loop(plan_cols, plan_vals, levels, final_src, n_blocks,
                    n, itermax, d_inv_damped, teleport, tol):
     r0 = jnp.full((n,), 1.0 / n, jnp.float32)
 
@@ -83,9 +59,9 @@ def _pagerank_loop(cols_list, vals_list, cnt_list, vrow_rows, widths,
     def body(carry):
         r, _, i = carry
         w = r * d_inv_damped
-        # SpMV on the transposed graph (built transposed by the caller)
-        contrib = _spmv_plus_second(cols_list, vals_list, cnt_list,
-                                    vrow_rows, widths, n, w)
+        contrib = _spmv(plan_cols, plan_vals, levels, final_src, n_blocks,
+                        w, lambda a, x: x, "PLUS", jnp.float32(0.0),
+                        jnp.float32(0.0))
         r_new = teleport + contrib
         rdiff = jnp.sum(jnp.abs(r_new - r))
         return r_new, rdiff, i + 1
@@ -102,59 +78,73 @@ def pagerank(A, damping=0.85, itermax=100, tol=1e-4):
     Single compiled executable: per-iteration cost is pure kernel time.
     """
     n = A.nrows
-    cols_list, vals_list, cnt_list, vrow_rows, widths = _ell_arrays(A, True)
-    # out-degree on device from the non-transposed ELL counts
-    r_dev, c_dev, _ = A._device_coo()
-    deg = jax.ops.segment_sum(jnp.ones(r_dev.shape, jnp.float32), r_dev, n)
+    plan, args = _plan_args(A, True)  # transposed orientation
+    if "deg" not in A._ell_c:
+        r_host, _, _ = A._coo()
+        deg_h = np.zeros(n, np.float32)
+        np.add.at(deg_h, r_host, 1.0)
+        A._ell_c["deg"] = jnp.asarray(deg_h)
+    deg = A._ell_c["deg"]
     d_inv = jnp.where(deg > 0, damping / jnp.maximum(deg, 1.0), 0.0)
     r, rdiff, iters = _pagerank_loop(
-        cols_list, vals_list, cnt_list, vrow_rows, widths, n, itermax,
-        d_inv.astype(jnp.float32), jnp.float32((1 - damping) / n),
-        jnp.float32(tol))
+        args[0], args[1].astype(jnp.float32), args[2], args[3],
+        plan.n_blocks, n, itermax, d_inv.astype(jnp.float32),
+        jnp.float32((1 - damping) / n), jnp.float32(tol))
     out = Vector.sparse(types.FP32, n)
     out._set_dense(r, jnp.ones((n,), jnp.bool_))
     return out
 
 
-@partial(jax.jit, static_argnames=("widths", "n"))
-def _bfs_loop(cols_list, cnt_list, vrow_rows, widths, n, start):
-    levels = jnp.zeros((n,), jnp.int64)
+@partial(jax.jit, static_argnames=("n", "n_blocks"))
+def _bfs_loop(plan_cols, plan_pad, levels, final_src, n_blocks, n, start):
+    lv = jnp.zeros((n,), jnp.int32)
     frontier = jnp.zeros((n,), jnp.bool_).at[start].set(True)
 
+    def spmv_bool(front):
+        class _P:
+            pass
+
+        plan = _P()
+        plan.n_blocks = n_blocks
+        plan.levels = levels
+        plan.final_src = final_src
+        f_ext = jnp.concatenate([front, jnp.zeros((1,), jnp.bool_)])
+        fe = jnp.logical_and(f_ext[plan_cols], plan_pad).astype(jnp.int8)
+        return csr8.reduce_partials(plan, fe, "LOR",
+                                    jnp.asarray(0, jnp.int8)) > 0
+
     def cond(carry):
-        levels, frontier, level = carry
+        lv, frontier, level = carry
         return jnp.logical_and(jnp.any(frontier), level <= n)
 
     def body(carry):
-        levels, frontier, level = carry
-        levels = jnp.where(frontier, level, levels)
-        nxt = _spmv_lor_second_bool(cols_list, cnt_list, vrow_rows, widths,
-                                    n, frontier)
-        nxt = jnp.logical_and(nxt, levels == 0)  # unvisited only
-        return levels, nxt, level + 1
+        lv, frontier, level = carry
+        lv = jnp.where(frontier, level, lv)
+        nxt = spmv_bool(frontier)
+        nxt = jnp.logical_and(nxt, lv == 0)
+        return lv, nxt, level + 1
 
-    levels, _, _ = jax.lax.while_loop(cond, body,
-                                      (levels, frontier, jnp.int64(1)))
-    return levels
+    lv, _, _ = jax.lax.while_loop(cond, body, (lv, frontier, jnp.int32(1)))
+    return lv
 
 
 def bfs_level(A, start):
-    """Whole-loop-fused level-synchronous BFS (vxm = transposed-ELL SpMV);
-    returns an INT64 Vector of 1-based levels (sparse: unreached absent).
-    """
+    """Whole-loop-fused level-synchronous BFS (vxm = transposed SpMV);
+    returns an INT64 Vector of 1-based levels (unreached absent)."""
     n = A.nrows
-    cols_list, _, cnt_list, vrow_rows, widths = _ell_arrays(A, True)
-    levels = _bfs_loop(cols_list, cnt_list, vrow_rows, widths, n,
-                       jnp.int32(start))
+    plan, args = _plan_args(A, True)
+    lv = _bfs_loop(args[0], plan.pad_mask, args[2], args[3], plan.n_blocks,
+                   n, jnp.int32(start))
+    lv = lv.astype(jnp.int64)
     out = Vector.sparse(types.INT64, n)
-    out._set_dense(levels, levels > 0)
+    out._set_dense(lv, lv > 0)
     return out
 
 
-@partial(jax.jit, static_argnames=("widths", "n"))
-def _sssp_loop(cols_list, vals_list, cnt_list, vrow_rows, widths, n, start):
-    inf = jnp.asarray(np.inf, vals_list[0].dtype if vals_list
-                      else jnp.float64)
+@partial(jax.jit, static_argnames=("n", "n_blocks"))
+def _sssp_loop(plan_cols, plan_vals, levels, final_src, n_blocks, n, start):
+    dt = plan_vals.dtype
+    inf = jnp.asarray(np.inf, dt)
     dist = jnp.full((n,), inf).at[start].set(0.0)
 
     def cond(carry):
@@ -163,8 +153,8 @@ def _sssp_loop(cols_list, vals_list, cnt_list, vrow_rows, widths, n, start):
 
     def body(carry):
         dist, _, i = carry
-        relax = _spmv_min_plus(cols_list, vals_list, cnt_list, vrow_rows,
-                               widths, n, dist)
+        relax = _spmv(plan_cols, plan_vals, levels, final_src, n_blocks,
+                      dist, lambda a, x: a + x, "MIN", inf, inf)
         new = jnp.minimum(dist, relax)
         return new, jnp.any(new < dist), i + 1
 
@@ -176,8 +166,8 @@ def sssp(A, start):
     """Whole-loop-fused Bellman-Ford SSSP (min_plus); returns a Vector of
     distances (unreachable absent)."""
     n = A.nrows
-    cols_list, vals_list, cnt_list, vrow_rows, widths = _ell_arrays(A, True)
-    dist = _sssp_loop(cols_list, vals_list, cnt_list, vrow_rows, widths, n,
+    plan, args = _plan_args(A, True)
+    dist = _sssp_loop(args[0], args[1], args[2], args[3], plan.n_blocks, n,
                       jnp.int32(start))
     out = Vector.sparse(A.type, n)
     out._set_dense(dist.astype(A.type._jnp_dtype()), jnp.isfinite(dist))

@@ -1176,12 +1176,35 @@ class Matrix:
             out = Matrix.sparse(typ, self._nrows, self._ncols)
         if add_op is None:
             add_op = out.type._default_addop()
+        if self._is_huge or other._is_huge:
+            return self._ewise_huge(other, add_op, out, mask, accum, desc,
+                                    union=True)
         av, am = self._dense_pair(desc.inp0)
         bv, bm = other._dense_pair(desc.inp1)
         if av.shape != bv.shape:
             raise DimensionMismatch("eadd shape mismatch")
         tv, tm = dk.eadd(av, am, bv, bm, add_op, out.type._jnp_dtype())
         return self._writeback(out, tv, tm, mask, accum, desc)
+
+    def _ewise_huge(self, other, op, out, mask, accum, desc, union):
+        """Element-wise union/intersection on huge COO matrices (host
+        sorted-merge, O(nnz log nnz))."""
+        if mask is not None or accum is not None:
+            raise InsufficientSpace(
+                "masked/accumulated ewise on huge matrices TBD")
+        ra, ca, va = self._coo()
+        rb, cb, vb = other._coo()
+        dt = out.type._numpy_t
+
+        def fn(x, y):
+            if op.ztype_rule != "BOOL":
+                x = x.astype(dt)
+                y = y.astype(dt)
+            return np.asarray(op.apply(jnp.asarray(x), jnp.asarray(y)))
+
+        r, c, v = ck.ewise(ra, ca, va, rb, cb, vb, fn, dt, union=union)
+        out._build(r, c, v)
+        return out
 
     union = eadd
 
@@ -1205,6 +1228,9 @@ class Matrix:
             out = Matrix.sparse(typ, self._nrows, self._ncols)
         if mult_op is None:
             mult_op = out.type._default_multop()
+        if self._is_huge or other._is_huge:
+            return self._ewise_huge(other, mult_op, out, mask, accum, desc,
+                                    union=False)
         av, am = self._dense_pair(desc.inp0)
         bv, bm = other._dense_pair(desc.inp1)
         if av.shape != bv.shape:
@@ -1600,11 +1626,49 @@ class Matrix:
             semiring = out.type._default_semiring()
         burble("mxm %s %sx%s @ %sx%s", semiring.name, anrows, ancols,
                bnrows, bncols)
+        if self._is_huge or other._is_huge or out._is_huge:
+            return self._sparse_mxm(other, semiring, out, mask, accum, desc)
         av, am = self._dense_pair(desc.inp0)
         bv, bm = other._dense_pair(desc.inp1)
         tv, tm = dk.mxm(av, am, bv, bm, semiring,
                         np.dtype(semiring.ztype._numpy_t))
         return self._writeback(out, tv, tm, mask, accum, desc)
+
+    def _sparse_mxm(self, other, semiring, out, mask, accum, desc):
+        """Masked SpGEMM for huge matrices (core/spgemm.py): the output
+        pattern is bounded by the mask, so each result entry is one
+        sparse dot product."""
+        from .core import spgemm as gk
+
+        if mask is None:
+            raise InsufficientSpace(
+                "unmasked SpGEMM on huge matrices not yet supported; "
+                "provide a mask (output pattern bound) or use smaller "
+                "dimensions")
+        if accum is not None:
+            raise InsufficientSpace(
+                "accumulated masked SpGEMM on huge matrices TBD")
+        if desc.complement:
+            raise InsufficientSpace(
+                "complement masks cannot be enumerated on huge matrices")
+        mr, mc, mv = mask._coo()
+        if not desc.structural:
+            truthy = np.asarray(mv, bool) if mv.dtype == np.bool_ \
+                else mv != 0
+            mr, mc = mr[truthy], mc[truthy]
+        # A rows (optionally transposed), B columns = rows of B^T
+        ra, ca, va = self._coo()
+        if desc.inp0:
+            ra, ca, va = ck.build(ca, ra, va, va.dtype)
+        rb, cb, vb = other._coo()
+        if not desc.inp1:
+            rb, cb, vb = ck.build(cb, rb, vb, vb.dtype)
+        zt = np.dtype(semiring.ztype._numpy_t)
+        r, c, v = gk.masked_spgemm(ra, ca, va, rb, cb, vb, mr, mc,
+                                   semiring, zt)
+        out.clear()
+        out._build(r, c, v.astype(out.type._numpy_t))
+        return out
 
     def mxv(self, other, semiring=None, cast=None, out=None, mask=None,
             accum=None, desc=None):
@@ -1645,9 +1709,10 @@ class Matrix:
                         np.dtype(semiring.ztype._numpy_t))
         return out._writeback(out, tv[:, 0], tm[:, 0], mask, accum, desc)
 
-    def _ell(self, transpose):
-        """Degree-binned ELL view for SpMV, cached per orientation."""
-        from .core.ell import EllFormat
+    def _spmv_plan(self, transpose):
+        """Slot-major csr8 SpMV plan, cached per orientation (see
+        core/csr8.py)."""
+        from .core.csr8 import Csr8Plan
 
         self._flush()  # before touching the cache: flush resets it
         if self._ell_c is None:
@@ -1655,25 +1720,27 @@ class Matrix:
         key = bool(transpose)
         if key not in self._ell_c:
             r, c, v = self._coo()
-            out_dim = self._ncols if transpose else self._nrows
             if transpose:
                 r, c, v = ck.build(c, r, v, v.dtype)
-            self._ell_c[key] = EllFormat(r, c, v, out_dim)
+                self._ell_c[key] = Csr8Plan(r, c, v, self._ncols,
+                                            self._nrows)
+            else:
+                self._ell_c[key] = Csr8Plan(r, c, v, self._nrows,
+                                            self._ncols)
         return self._ell_c[key]
 
     def _sparse_mxv(self, other, semiring, out, mask, accum, desc,
                     transpose):
-        """SpMV for huge matrices: degree-binned ELL kernel (gather +
-        dense row-reduce) when the algebra allows, else COO segment
-        reduce."""
+        """SpMV for huge matrices: scatter-free csr8 gather-pyramid kernel
+        when the algebra allows, else COO segment reduce."""
         from .core import sparse as sk
-        from .core import ell as ek
+        from .core import csr8 as pk
 
         xv, xm = other._dense_pair()
         zt = np.dtype(semiring.ztype._numpy_t)
-        if ek.ell_supported(semiring):
-            tv, tm = ek.ell_spmv(self._ell(transpose), xv, xm, semiring,
-                                 zt, out.size)
+        if pk.plan_supported(semiring):
+            tv, tm = pk.run_spmv_masked(self._spmv_plan(transpose), xv, xm,
+                                        semiring, zt)
         else:
             rows, cols, vals = self._device_coo()
             ids_out, ids_in = (cols, rows) if transpose else (rows, cols)

@@ -1,0 +1,88 @@
+"""Masked sparse SpGEMM on huge matrices vs dense oracles, including
+GAP-config triangle counting at forced-sparse scale."""
+
+import numpy as np
+import networkx as nx
+import pytest
+
+from pygraphblas_tpu import Matrix, types, descriptor
+from pygraphblas_tpu.algorithms import triangle_count, k_truss
+
+N = 10_000  # forces the sparse path
+
+
+def rand_graph(seed=5, nnz=30_000, symmetric=True):
+    rng = np.random.RandomState(seed)
+    rows = rng.randint(0, N, nnz)
+    cols = rng.randint(0, N, nnz)
+    keep = rows != cols
+    rows, cols = rows[keep], cols[keep]
+    if symmetric:
+        rows, cols = (np.concatenate([rows, cols]),
+                      np.concatenate([cols, rows]))
+    keys = rows.astype(np.int64) * N + cols
+    _, idx = np.unique(keys, return_index=True)
+    return rows[idx], cols[idx]
+
+
+def test_masked_spgemm_plus_times_matches_oracle():
+    rows, cols = rand_graph()
+    rng = np.random.RandomState(1)
+    vals = rng.rand(len(rows)).astype(np.float32)
+    A = Matrix.sparse(types.FP32, N, N)
+    A._build(rows, cols, vals)
+    mask = Matrix.sparse(types.BOOL, N, N)
+    mask._build(rows[:500], cols[:500], np.ones(500, np.bool_))
+    C = A.mxm(A, mask=mask, desc=descriptor.S)
+    # oracle with scipy
+    from scipy import sparse
+
+    S = sparse.coo_matrix((vals, (rows, cols)), shape=(N, N)).tocsr()
+    P = (S @ S).tocsr()
+    for i, j, v in C:
+        assert abs(P[i, j] - v) < 1e-3
+    # every mask position with a structural match must be present
+    got = {(i, j) for i, j, _ in C}
+    pattern = (S != 0).astype(np.int8)
+    PP = (pattern @ pattern).tocsr()
+    for i, j in zip(rows[:500], cols[:500]):
+        if PP[i, j] > 0:
+            assert (int(i), int(j)) in got
+
+
+def test_sparse_triangle_count_matches_networkx():
+    rows, cols = rand_graph(seed=7, nnz=40_000)
+    G = nx.Graph()
+    G.add_nodes_from(range(N))
+    G.add_edges_from(zip(rows.tolist(), cols.tolist()))
+    A = Matrix.sparse(types.INT64, N, N)
+    A._build(rows, cols, np.ones(len(rows), np.int64))
+    assert A._is_huge
+    expect = sum(nx.triangles(G).values()) // 3
+    assert triangle_count(A, "sandia") == expect
+    assert triangle_count(A, "cohen") == expect
+    assert triangle_count(A, "sandia_dot") == expect
+
+
+def test_sparse_ktruss():
+    # triangle + pendant embedded in a huge id space
+    I = [0, 1, 1, 2, 0, 2, 3, 2]
+    J = [1, 0, 2, 1, 2, 0, 2, 3]
+    A = Matrix.sparse(types.INT64, N, N)
+    A._build(np.asarray(I), np.asarray(J), np.ones(len(I), np.int64))
+    t3 = k_truss(A, 3)
+    assert t3.nvals == 6  # the triangle survives, pendant edge dropped
+
+
+def test_min_plus_masked_spgemm():
+    # all-pairs-shortest-path style relaxation step on huge ids
+    I = [0, 1, 0]
+    J = [1, 2, 2]
+    V = [1.0, 2.0, 10.0]
+    A = Matrix.sparse(types.FP64, N, N)
+    A._build(np.asarray(I), np.asarray(J), np.asarray(V))
+    mask = Matrix.sparse(types.BOOL, N, N)
+    mask._build(np.asarray([0]), np.asarray([2]), np.ones(1, np.bool_))
+    C = A.mxm(A, semiring=types.FP64.min_plus, mask=mask,
+              desc=descriptor.S)
+    assert C[0, 2] == 3.0  # 0->1->2
