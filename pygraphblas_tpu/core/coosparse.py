@@ -27,13 +27,24 @@ def _pairs(rows, cols):
 def build(rows, cols, vals, dtype, dedup="last"):
     """Sort by (row, col) and deduplicate; returns canonical COO triples.
 
-    dedup: "last" (setElement semantics: later writes win).
+    dedup: "last" (setElement semantics: later writes win).  Large builds
+    go through the native radix-sort runtime when available
+    (native/fastio.cpp).
     """
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
     vals = np.asarray(vals, dtype)
     if rows.size == 0:
         return rows, cols, vals
+    dt = np.dtype(dtype)
+    f64_safe = dt.kind == "f" or (dt.kind in "iu" and dt.itemsize <= 4)
+    if rows.size >= 65536 and f64_safe and rows.min() >= 0:
+        from ..io.native import HAVE_NATIVE, sort_dedup_native
+
+        if HAVE_NATIVE:
+            r, c, v = sort_dedup_native(
+                rows, cols, vals.astype(np.float64))
+            return r, c, v.astype(dtype)
     order = np.lexsort((cols, rows))  # stable, row-major
     rows = rows[order]
     cols = cols[order]

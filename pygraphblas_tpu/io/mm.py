@@ -18,8 +18,18 @@ def _open(f, mode="r"):
 def read_mm(mm_file):
     """Parse a MatrixMarket file.
 
-    Returns (I, J, V, nrows, ncols, Type).
+    Returns (I, J, V, nrows, ncols, Type).  File paths go through the
+    native C++ parser when built (native/fastio.cpp); file-like objects
+    use the Python fallback.
     """
+    if isinstance(mm_file, (str, bytes)) or hasattr(mm_file, "__fspath__"):
+        from .native import HAVE_NATIVE, parse_mm_native
+
+        if HAVE_NATIVE:
+            rows, cols, vals, nrows, ncols, field = parse_mm_native(mm_file)
+            typ = {"p": types.BOOL, "i": types.INT64,
+                   "r": types.FP64}[field]
+            return rows, cols, vals.astype(typ._numpy_t), nrows, ncols, typ
     fh, should_close = _open(mm_file)
     try:
         header = fh.readline()
