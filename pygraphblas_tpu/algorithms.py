@@ -19,6 +19,7 @@ __all__ = [
     "betweenness_centrality",
     "k_truss",
     "triangle_centrality",
+    "louvain_cluster",
     "dnn",
 ]
 
@@ -199,6 +200,88 @@ def triangle_centrality(A):
     out = out.eadd(yp.apply_second(types.FP64.TIMES, -2.0), types.FP64.PLUS)
     out = out.eadd(y, types.FP64.PLUS)
     return out.apply_second(types.FP64.DIV, k)
+
+
+def _louvain_local_moves(Wn, kv, two_m, max_iters):
+    """One Louvain local-move phase on a scipy CSR graph; returns
+    compacted labels."""
+    import numpy as np
+
+    n = Wn.shape[0]
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(max_iters):
+        moved = 0
+        comm_deg = np.zeros(n)
+        np.add.at(comm_deg, labels, kv)
+        for i in range(n):
+            row = Wn.getrow(i)
+            if row.nnz == 0:
+                continue
+            cand = {}
+            for j, w in zip(row.indices, row.data):
+                if j == i:
+                    continue
+                cand[labels[j]] = cand.get(labels[j], 0.0) + w
+            if not cand:
+                continue
+            cur = labels[i]
+            comm_deg[cur] -= kv[i]
+            best_label = cur
+            best_gain = cand.get(cur, 0.0) - comm_deg[cur] * kv[i] / two_m
+            for lbl, w_in in cand.items():
+                gain = w_in - comm_deg[lbl] * kv[i] / two_m
+                if gain > best_gain + 1e-12:
+                    best_gain = gain
+                    best_label = lbl
+            comm_deg[best_label] += kv[i]
+            if best_label != cur:
+                labels[i] = best_label
+                moved += 1
+        if moved == 0:
+            break
+    _, labels = np.unique(labels, return_inverse=True)
+    return labels
+
+
+def louvain_cluster(A, max_iters=20, max_levels=10, seed=None):
+    """Louvain community detection: local modularity-gain moves plus
+    community-graph aggregation, repeated until modularity stops
+    improving (reference demo `Louvain.ipynb` validates the same
+    algorithm against python-louvain).
+
+    Returns an INT64 Vector of community labels.
+    """
+    import numpy as np
+
+    n = A.nrows
+    W = A.cast(types.FP64)
+    k = W.reduce_vector(types.FP64.PLUS_MONOID)
+    two_m = k.reduce_float()
+    if two_m == 0:
+        return Vector.from_lists(list(range(n)), list(range(n)), n)
+    Wn = W.to_scipy_sparse("csr")
+
+    mapping = np.arange(n, dtype=np.int64)
+    for _ in range(max_levels):
+        kv = np.asarray(Wn.sum(axis=1)).ravel()
+        labels = _louvain_local_moves(Wn, kv, two_m, max_iters)
+        ncomm = int(labels.max()) + 1
+        if ncomm == Wn.shape[0]:
+            break
+        mapping = labels[mapping]
+        if ncomm == 1:
+            break
+        # aggregate: contract communities into a weighted supergraph
+        from scipy import sparse
+
+        P = sparse.coo_matrix(
+            (np.ones(Wn.shape[0]), (np.arange(Wn.shape[0]), labels)),
+            shape=(Wn.shape[0], ncomm)).tocsr()
+        Wn = (P.T @ Wn @ P).tocsr()
+
+    out = Vector.sparse(types.INT64, n)
+    out._build(np.arange(n, dtype=np.int64), mapping.astype(np.int64))
+    return out
 
 
 def dnn(W, B, Y):

@@ -143,3 +143,21 @@ def test_dnn_small():
     # (1,2): 2.0 -> 1.5 -> 1.0 survives
     assert out.nvals == 1
     assert out[1, 2] == 1.0
+
+
+def test_louvain_two_blocks():
+    from pygraphblas_tpu.algorithms import louvain_cluster
+
+    rng = np.random.RandomState(0)
+    n = 60
+    G = nx.random_partition_graph([30, 30], 0.5, 0.02, seed=1)
+    A = nx_to_matrix(G, types.FP64)
+    labels = louvain_cluster(A)
+    lv = labels.to_numpy()
+    # the two planted blocks should be (almost entirely) separated
+    from collections import Counter
+
+    c0 = Counter(lv[:30].tolist()).most_common(1)[0]
+    c1 = Counter(lv[30:].tolist()).most_common(1)[0]
+    assert c0[1] >= 27 and c1[1] >= 27
+    assert c0[0] != c1[0]
