@@ -248,11 +248,173 @@ PyObject* py_sort_dedup(PyObject*, PyObject* args) {
   return res;
 }
 
+// ---------------------------------------------------------------------------
+// Benes-routing edge coloring.
+//
+// Colors the edges of a d-regular (d = 2^bits) bipartite multigraph with
+// exactly d colors so that every node sees each color once.  This is the
+// host-side routing step for the TPU static-permutation primitive
+// (pygraphblas_tpu/core/perm.py): colors become the lane assignment of the
+// middle stage of a Clos/Benes decomposition, so an arbitrary N-element
+// permutation executes on-device as lane-gather passes + transposes.
+// Method: recursive Euler splits (orient an Euler circuit; left-to-right
+// edges form one half, right-to-left the other; each half is d/2-regular).
+// Implementation: recursive splits via a "transition system" walk — pair
+// consecutive incident edges at every node; the pairing decomposes the
+// multigraph into closed trails that alternate sides (bipartite), so
+// alternating orientation along each trail halves every node's degree
+// exactly.  Edge arrays (u, v, id) are kept contiguous per call and
+// partitioned together, so deeper levels are cache-resident.
+struct BenesCtx {
+  std::vector<int64_t> seg;    // per node-key: -(segment start + 1), or 0
+  std::vector<int64_t> fill;   // per node-key: fill cursor
+  std::vector<int32_t> adj;    // incidence slots -> local edge id
+  std::vector<int64_t> eslot;  // per local edge: slot at u (2e), at v (2e+1)
+  std::vector<uint8_t> vis;    // per local edge
+  std::vector<uint8_t> bit;    // per local edge
+  std::vector<int32_t> su, sv, sid;  // partition scratch (size m)
+  uint8_t* color;
+  int32_t next_color = 0;
+};
+
+// Orient edges 0..n-1 (local ids; uu/vv contiguous) so each node's degree
+// splits exactly in half between bit 0 and bit 1.
+static void benes_orient(BenesCtx& c, const int32_t* uu, const int32_t* vv,
+                         int64_t n) {
+  // degree count into seg (node keys: left u -> 2u, right v -> 2v+1)
+  for (int64_t i = 0; i < n; ++i) {
+    c.seg[2 * (int64_t)uu[i]]++;
+    c.seg[2 * (int64_t)vv[i] + 1]++;
+  }
+  // first-touch segment reservation
+  int64_t off = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t ku = 2 * (int64_t)uu[i], kv = 2 * (int64_t)vv[i] + 1;
+    if (c.seg[ku] > 0) {
+      int64_t d = c.seg[ku];
+      c.seg[ku] = -(off + 1);
+      c.fill[ku] = off;
+      off += d;
+    }
+    if (c.seg[kv] > 0) {
+      int64_t d = c.seg[kv];
+      c.seg[kv] = -(off + 1);
+      c.fill[kv] = off;
+      off += d;
+    }
+  }
+  // fill incidence; record each edge's two slots
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t su_ = c.fill[2 * (int64_t)uu[i]]++;
+    int64_t sv_ = c.fill[2 * (int64_t)vv[i] + 1]++;
+    c.adj[su_] = (int32_t)i;
+    c.adj[sv_] = (int32_t)i;
+    c.eslot[2 * i] = su_;
+    c.eslot[2 * i + 1] = sv_;
+  }
+  // walk trails: partner slot of s within segment [st, ..) is st + ((s-st)^1)
+  for (int64_t i = 0; i < n; ++i) {
+    if (c.vis[i]) continue;
+    int64_t e = i;
+    int side = 0;  // traverse e from its left endpoint first
+    while (!c.vis[e]) {
+      c.vis[e] = 1;
+      c.bit[e] = (uint8_t)side;
+      // arrive at the other endpoint; exit via the partner slot there
+      int64_t arrive_key = side == 0 ? 2 * (int64_t)vv[e] + 1
+                                     : 2 * (int64_t)uu[e];
+      int64_t s = c.eslot[2 * e + (side == 0 ? 1 : 0)];
+      int64_t st = -(c.seg[arrive_key]) - 1;
+      int64_t ps = st + ((s - st) ^ 1);
+      e = c.adj[ps];
+      // next edge is traversed FROM arrive_key's side
+      side = (arrive_key & 1) ? 1 : 0;
+    }
+  }
+  // reset touched keys + flags
+  for (int64_t i = 0; i < n; ++i) {
+    c.seg[2 * (int64_t)uu[i]] = 0;
+    c.seg[2 * (int64_t)vv[i] + 1] = 0;
+    c.vis[i] = 0;
+  }
+}
+
+static void benes_rec(BenesCtx& c, int32_t* uu, int32_t* vv, int32_t* eid,
+                      int64_t n, int bits) {
+  if (bits == 0) {
+    uint8_t col = (uint8_t)c.next_color++;
+    for (int64_t i = 0; i < n; ++i) c.color[eid[i]] = col;
+    return;
+  }
+  benes_orient(c, uu, vv, n);
+  int64_t n0 = 0, n1 = n - 1 + 1;
+  // stable partition of (uu, vv, eid) by bit, via scratch
+  int64_t j0 = 0, j1 = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (c.bit[i] == 0) {
+      uu[j0] = uu[i]; vv[j0] = vv[i]; eid[j0] = eid[i]; ++j0;
+    } else {
+      c.su[j1] = uu[i]; c.sv[j1] = vv[i]; c.sid[j1] = eid[i]; ++j1;
+    }
+  }
+  n0 = j0;
+  memcpy(uu + n0, c.su.data(), j1 * sizeof(int32_t));
+  memcpy(vv + n0, c.sv.data(), j1 * sizeof(int32_t));
+  memcpy(eid + n0, c.sid.data(), j1 * sizeof(int32_t));
+  (void)n1;
+  benes_rec(c, uu, vv, eid, n0, bits - 1);
+  benes_rec(c, uu + n0, vv + n0, eid + n0, n - n0, bits - 1);
+}
+
+// benes_color(u_bytes:int32, v_bytes:int32, n_left, n_right, bits)
+//   -> color bytes (uint8, one per edge, values in [0, 2^bits))
+PyObject* py_benes_color(PyObject*, PyObject* args) {
+  Py_buffer ub, vb;
+  long long nl, nr;
+  int bits;
+  if (!PyArg_ParseTuple(args, "y*y*LLi", &ub, &vb, &nl, &nr, &bits))
+    return nullptr;
+  int64_t m = ub.len / 4;
+  if ((int64_t)(vb.len / 4) != m || bits < 0 || bits > 7) {
+    PyBuffer_Release(&ub);
+    PyBuffer_Release(&vb);
+    PyErr_SetString(PyExc_ValueError, "benes_color: bad arguments");
+    return nullptr;
+  }
+  std::vector<uint8_t> color(m);
+  {
+    Py_BEGIN_ALLOW_THREADS
+    BenesCtx c;
+    int64_t nkeys = 2 * (int64_t)std::max(nl, nr) + 2;
+    c.seg.assign(nkeys, 0);
+    c.fill.assign(nkeys, 0);
+    c.adj.resize(2 * m);
+    c.eslot.resize(2 * m);
+    c.vis.assign(m, 0);
+    c.bit.assign(m, 0);
+    c.su.resize(m);
+    c.sv.resize(m);
+    c.sid.resize(m);
+    c.color = color.data();
+    std::vector<int32_t> uu((const int32_t*)ub.buf, (const int32_t*)ub.buf + m);
+    std::vector<int32_t> vv((const int32_t*)vb.buf, (const int32_t*)vb.buf + m);
+    std::vector<int32_t> eid(m);
+    for (int64_t i = 0; i < m; ++i) eid[i] = (int32_t)i;
+    benes_rec(c, uu.data(), vv.data(), eid.data(), m, bits);
+    Py_END_ALLOW_THREADS
+  }
+  PyBuffer_Release(&ub);
+  PyBuffer_Release(&vb);
+  return vec_to_bytes(color.data(), color.size());
+}
+
 PyMethodDef methods[] = {
     {"parse_mm", py_parse_mm, METH_VARARGS,
      "Parse a MatrixMarket file into canonical COO triples."},
     {"sort_dedup", py_sort_dedup, METH_VARARGS,
      "Radix sort + dedup (last wins) int64 COO triples."},
+    {"benes_color", py_benes_color, METH_VARARGS,
+     "Edge-color a 2^bits-regular bipartite multigraph with 2^bits colors."},
     {nullptr, nullptr, 0, nullptr},
 };
 

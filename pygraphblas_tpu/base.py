@@ -138,6 +138,10 @@ class GlobalConfig:
     bitmap_max_cells: int = 1 << 24
     # capacity growth factor for padded sparse index arrays
     capacity_factor: float = 1.25
+    # SpMV kernel engine: "auto" picks the gather-free decode/permute/fold
+    # pipeline (core/xspmv.py) when the semiring+size support it, falling
+    # back to the slot-major csr8 plan; "csr8"/"xspmv" force one engine.
+    spmv_engine: str = "auto"
 
 
 config = GlobalConfig()
@@ -151,6 +155,7 @@ def options_set(
     bitmap_switch=None,
     format=None,
     bitmap_max_cells=None,
+    spmv_engine=None,
 ):
     """Set global library options.
 
@@ -178,6 +183,10 @@ def options_set(
         config.format = int(format)
     if bitmap_max_cells is not None:
         config.bitmap_max_cells = int(bitmap_max_cells)
+    if spmv_engine is not None:
+        if spmv_engine not in ("auto", "csr8", "xspmv"):
+            raise ValueError("spmv_engine must be auto|csr8|xspmv")
+        config.spmv_engine = spmv_engine
 
 
 def options_get():

@@ -1,0 +1,291 @@
+"""Monotone windowed gather — the TPU-fast path for every "sorted
+irregular read" in the sparse stack.
+
+A gather ``out[i] = src[idx[i]]`` with *non-decreasing* ``idx`` has the
+property that each 128-element output row reads from a bounded,
+monotonically-advancing window of the source.  On this hardware an
+arbitrary XLA gather costs ~8 cycles/element, but a dynamic sublane
+slice + in-register lane gather costs ~0.005 ns/element (PERF.md), so
+each output row s decomposes into:
+
+    window load:  src2d[q0[s] + w]           (dynamic sublane slice)
+    lane gather:  take_along_axis(win, dm[s] - 128*w)
+
+with ``q0`` (128-aligned window base) and ``dm`` (lane deltas) static
+plan data; rows whose indices span several windows loop over ``w``
+(amortized O(1 + src_n/n) windows per row).  Sources larger than VMEM
+are streamed: the grid walks output blocks and a scalar-prefetched
+index map pulls the two source blocks covering that output's window
+span (monotonicity bounds the span).
+
+Modes:
+  - plain:  out (S,128) = src[idx], with idx < 0 -> `fill`
+  - fused multiply: mul(vals, gathered) (semiring mul closure)
+  - fold8:  out (S/8,128) = lanewise fold of each 8-row slot group
+            (one 8-ary reduction level; groups are slot-major)
+
+Used by core/xspmv.py for semiring SpMV decode, reduction levels, and
+row placement; replaces the role of the reference's SuiteSparse C
+gather loops (pygraphblas matrix.py:2716, vector.py:961).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# resident-source limit: keep the whole source in VMEM below this
+_RESIDENT_BYTES = 4 << 20
+_MAX_XB = 8192           # streaming window block rows (8192*128*4B = 4MB)
+
+
+def _on_tpu():
+    return jax.default_backend() == "tpu"
+
+
+def _next_pow2(x):
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
+class MonoPlan:
+    """Static plan for one monotone gather: idx (N,) non-decreasing into
+    a source of logical length src_n.  idx[i] < 0 marks invalid -> fill."""
+
+    __slots__ = ("S", "blk", "src_n", "src_rows", "q0", "dm", "max_w",
+                 "idx", "stream", "xb", "xblk", "ok")
+
+    @staticmethod
+    def build(idx, src_n, itemsize=4):
+        idx = np.asarray(idx, np.int64)
+        n = len(idx)
+        S = max(8, -(-n // 128))
+        S = -(-S // 8) * 8
+        pad = S * 128 - n
+        if pad:
+            idx = np.concatenate([idx, np.full(pad, -1, np.int64)])
+        idxm = idx.reshape(S, 128)
+        valid = idxm >= 0
+        firsts = np.where(valid, idxm, np.int64(1 << 60)).min(axis=1)
+        firsts = np.where(valid.any(axis=1), firsts, 0)
+        q0 = (firsts >> 7).astype(np.int64)
+        dm = np.where(valid, idxm - (q0[:, None] << 7),
+                      np.int64(-1)).astype(np.int32)
+
+        plan = MonoPlan()
+        plan.S = S
+        plan.src_n = src_n
+        plan.src_rows = -(-src_n // 128)
+        plan.dm = dm
+        plan.max_w = int(dm.max() // 128 + 1) if n else 1
+        plan.idx = idxm
+        plan.ok = True
+
+        blk = 512
+        while S % blk:
+            blk //= 2
+        plan.blk = blk
+
+        if (plan.src_rows + 2) * 128 * itemsize <= _RESIDENT_BYTES:
+            plan.stream = False
+            plan.q0 = q0.astype(np.int32)
+            plan.xb = 0
+            plan.xblk = None
+            return plan
+
+        # streaming: per output block, two consecutive source blocks of
+        # XB rows must cover every window the block's rows touch
+        plan.stream = True
+        nblocks = S // blk
+        q0b = q0.reshape(nblocks, blk)
+        wrows = (dm.max(axis=1) // 128 + 1).reshape(nblocks, blk)
+        lo = q0b.min(axis=1)
+        hi = (q0b + wrows).max(axis=1)
+        xb = _next_pow2(int((hi - (lo // 1) ).max()) + 2)
+        # align lo to xb and re-check span fits two blocks
+        while True:
+            blo = lo // xb
+            if int((hi - blo * xb).max()) <= 2 * xb - 1 or xb >= (1 << 30):
+                break
+            xb *= 2
+        if xb > _MAX_XB:
+            plan.ok = False   # pathological span: caller falls back
+            xb = _MAX_XB
+        plan.xb = xb
+        plan.xblk = (lo // xb).astype(np.int32)
+        plan.q0 = (q0 - (plan.xblk.astype(np.int64)[:, None] * xb)
+                   .repeat(blk, 1).reshape(-1)).astype(np.int32)
+        return plan
+
+
+def mono_gather(plan, src, fill, vals=None, mul=None, fold=None):
+    """Execute the planned monotone gather (jit-composable).
+
+    src: (>= src_n,) device array, viewed as rows of 128.
+    fill: scalar for invalid lanes (monoid identity / zero).
+    vals/mul: optional fused product mul(vals, gathered); invalid -> fill.
+    fold: optional lanewise fold closure over 8-row slot groups.
+    """
+    S = plan.S
+    dtype = src.dtype
+    if not _on_tpu() or not plan.ok or dtype.itemsize > 4:
+        idx = jnp.asarray(plan.idx)
+        flat = src
+        g = jnp.take(flat, jnp.clip(idx.reshape(-1), 0, flat.shape[0] - 1))
+        g = g.reshape(S, 128)
+        g = jnp.where(jnp.asarray(plan.idx >= 0), g, jnp.asarray(fill, dtype))
+        if mul is not None:
+            g = jnp.where(jnp.asarray(plan.idx >= 0),
+                          mul(vals.reshape(S, 128), g),
+                          jnp.asarray(fill, dtype))
+        if fold is not None:
+            g = g.reshape(S // 8, 8, 128)
+            out = g[:, 0, :]
+            for k in range(1, 8):
+                out = fold(out, g[:, k, :])
+            return out
+        return g
+    return _mono_pallas(plan, src, fill, vals, mul, fold)
+
+
+def _pad_rows(src, rows):
+    n = src.shape[0]
+    need = rows * 128
+    if n < need:
+        src = jnp.concatenate([src, jnp.zeros((need - n,), src.dtype)])
+    return src[:need].reshape(rows, 128)
+
+
+def _mono_pallas(plan, src, fill, vals, mul, fold):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    S, blk = plan.S, plan.blk
+    dtype = src.dtype
+    fill = np.dtype(dtype).type(fill)
+    folded = fold is not None
+    stream = plan.stream
+    xb = plan.xb
+
+    if stream:
+        nsrc_rows = (int(plan.xblk.max()) + 2) * xb
+    else:
+        nsrc_rows = plan.src_rows + plan.max_w + 1
+    src2 = _pad_rows(src, nsrc_rows)
+
+    def body_group(q0_ref, dmg, x0, x1, s0):
+        # all in-kernel index arithmetic pinned to int32: the package
+        # enables jax x64, and Mosaic cannot lower 64-bit vectors
+        maxw = (1 + jnp.max(dmg) // 128).astype(jnp.int32)
+
+        def body(w, acc):
+            w = w.astype(jnp.int32)
+            rows = []
+            for r in range(8):
+                q = q0_ref[s0 + r] + w
+                if stream:
+                    r0 = x0[pl.ds(jnp.minimum(q, xb - 1), 1), :]
+                    r1 = x1[pl.ds(jnp.clip(q - xb, 0, xb - 1), 1), :]
+                    rows.append(jnp.where(q < xb, r0, r1))
+                else:
+                    rows.append(x0[pl.ds(q, 1), :])
+            win = jnp.concatenate(rows, axis=0)
+            lm = dmg - w * 128
+            okm = jnp.logical_and(lm >= 0, lm < 128)
+            gth = jnp.take_along_axis(win, jnp.bitwise_and(lm, 127), axis=1)
+            return jnp.where(okm, gth, acc)
+
+        return jax.lax.fori_loop(0, maxw, body,
+                                 jnp.full((8, 128), fill, dtype))
+
+    def kern(*refs):
+        if stream:
+            _, q0_ref, dm_ref, x0_ref, x1_ref = refs[:5]
+            rest = refs[5:]
+        else:
+            q0_ref, dm_ref, x0_ref = refs[:3]
+            x1_ref = x0_ref
+            rest = refs[3:]
+        if mul is not None:
+            v_ref = rest[0]
+            rest = rest[1:]
+        out_ref = rest[0]
+        # q0 is the WHOLE (un-blocked) SMEM array: index it globally
+        blk_base = pl.program_id(0).astype(jnp.int32) * blk
+
+        def do_group(g, _):
+            g = g.astype(jnp.int32)
+            s0 = g * 8
+            dmg = dm_ref[pl.ds(s0, 8), :]
+            acc = body_group(q0_ref, dmg, x0_ref, x1_ref, blk_base + s0)
+            if mul is not None:
+                acc = jnp.where(dmg >= 0, mul(v_ref[pl.ds(s0, 8), :], acc),
+                                jnp.asarray(fill, dtype))
+            if folded:
+                r = acc[0:1, :]
+                for k in range(1, 8):
+                    r = fold(r, acc[k:k + 1, :])
+                out_ref[pl.ds(g, 1), :] = r
+            else:
+                out_ref[pl.ds(s0, 8), :] = acc
+            return 0
+
+        # trace the kernel with 32-bit defaults: Mosaic cannot lower the
+        # 64-bit vectors that jnp index helpers emit under jax_enable_x64
+        with jax.enable_x64(False):
+            jax.lax.fori_loop(0, blk // 8, do_group, 0)
+
+    out_rows = S // 8 if folded else S
+    out_blk = blk // 8 if folded else blk
+    out_spec = pl.BlockSpec((out_blk, 128), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((out_rows, 128), dtype)
+    q0_d = jnp.asarray(plan.q0)
+    dm_d = jnp.asarray(plan.dm)
+
+    if stream:
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),                # q0
+            pl.BlockSpec((blk, 128), lambda i, xbr: (i, 0),
+                         memory_space=pltpu.VMEM),                # dm
+            pl.BlockSpec((xb, 128), lambda i, xbr: (xbr[i], 0),
+                         memory_space=pltpu.VMEM),                # src blk 0
+            pl.BlockSpec((xb, 128), lambda i, xbr: (xbr[i] + 1, 0),
+                         memory_space=pltpu.VMEM),                # src blk 1
+        ]
+        args = [q0_d, dm_d, src2, src2]
+        if mul is not None:
+            in_specs.append(pl.BlockSpec((blk, 128), lambda i, xbr: (i, 0),
+                                         memory_space=pltpu.VMEM))
+            args.append(vals.reshape(S, 128))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(S // blk,),
+            in_specs=in_specs,
+            out_specs=out_spec,
+        )
+        with jax.enable_x64(False):  # index maps must trace 32-bit
+            return pl.pallas_call(kern, out_shape=out_shape,
+                                  grid_spec=grid_spec)(
+                jnp.asarray(plan.xblk), *args)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((blk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    args = [q0_d, dm_d, src2]
+    if mul is not None:
+        in_specs.append(pl.BlockSpec((blk, 128), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(vals.reshape(S, 128))
+    with jax.enable_x64(False):  # index maps must trace 32-bit
+        return pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        grid=(S // blk,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((out_blk, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(*args)

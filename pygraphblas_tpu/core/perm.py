@@ -1,0 +1,493 @@
+"""Static permutation primitive: arbitrary N-element permutations at
+vector speed on TPU via a Clos/Benes network decomposition.
+
+Motivation (measured, see PERF.md): XLA lowers arbitrary gathers on this
+TPU at ~8 cycles/element, but Mosaic's in-register lane gather
+(``take_along_axis(..., axis=1)`` within a 128-lane row) runs at full
+VPU speed (~210 Gelem/s), and large 2-D transposes run at HBM bandwidth.
+Any *static* permutation can therefore be executed as a short fixed
+sequence of lane-gather passes and transposes:
+
+  level 0..D-1:  A_i  = per-row lane gather   (route to the "color" lane)
+  middle:        S-way sublane select within (S, 128) tiles
+  level D-1..0:  C_i  = per-row lane gather   (route to the final lane)
+
+with a transpose between levels (the classic 3-stage Clos recursion:
+rows x 128 lanes; the middle stage is 128 independent row-permutations,
+recursed until rows <= 16).
+
+Routing: stage lane assignments are an exact 128-edge-coloring of the
+128-regular bipartite multigraph (src row -> dst row).  Level 0 (the
+only cache-hostile, multi-million edge instance) is colored by a
+vectorized numpy greedy-with-repair using embedding slack (rows are only
+``fill``/128 full); levels >= 1 are completed to exactly 128-regular
+with junk cells and colored exactly in native code
+(`_fastio.benes_color`, Euler splits via a transition-system walk).
+
+This has no counterpart in the reference (SuiteSparse does irregular
+moves in C with random access); it is the TPU-native replacement for
+every "scatter/permutation" on the sparse hot path: CSR<->CSC transpose
+(reference: GrB_transpose, matrix.py:1059), SpMV product reordering, and
+format conversion.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# Arbitrary-gather fallback threshold: below this size the XLA gather
+# (8 cyc/elem) costs less than the fixed pass structure.
+TRIVIAL_N = 1 << 14
+
+_MAX_GREEDY_ROUNDS = 200
+
+
+def _on_tpu():
+    return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# host-side routing
+
+
+def _greedy_color(src_row, dst_row, n_rows, rng):
+    """Color N elements with colors 0..127, distinct within each src row
+    and each dst row.  Rows are at most `fill` full (slack), so random
+    greedy with per-round conflict repair converges geometrically.
+    Vectorized numpy; returns uint8 colors."""
+    n = len(src_row)
+    # initial: distinct colors within each src row via per-row random ranks
+    order = np.argsort(src_row * np.int64(256) +
+                       rng.randint(0, 256, n).astype(np.int64), kind="stable")
+    rank_in_src = np.empty(n, np.int64)
+    first = np.zeros(n, bool)
+    first[0] = True
+    ssorted = src_row[order]
+    first[1:] = ssorted[1:] != ssorted[:-1]
+    run_id = np.cumsum(first) - 1
+    run_start = np.flatnonzero(first)
+    rank_in_src[order] = np.arange(n) - run_start[run_id]
+    color = rank_in_src.astype(np.int64)  # distinct in src rows (fill <= 128)
+
+    # src-row occupancy is an invariant: colors stay distinct per src row
+    # throughout (losers only move to colors free in their src row, and
+    # same-row pick collisions are rolled back).
+    src_used = np.zeros((n_rows, 128), bool)
+    src_used[src_row, color] = True
+    dst_frozen = np.zeros((n_rows, 128), bool)
+    live = np.arange(n)
+    tbl = np.empty(n_rows * 128, np.int64)
+    for _round in range(_MAX_GREEDY_ROUNDS):
+        key = dst_row[live] * np.int64(128) + color[live]
+        tbl[key] = live  # last writer among live claimants wins
+        ok = np.logical_and(tbl[key] == live,
+                            ~dst_frozen[dst_row[live], color[live]])
+        dst_frozen[dst_row[live[ok]], color[live[ok]]] = True
+        losers = live[~ok]
+        if len(losers) == 0:
+            live = losers
+            break
+        # recolor: a random color free in the src row AND not frozen in the
+        # dst row (the intersection palette — required for convergence)
+        cand = ~np.logical_or(src_used[src_row[losers]],
+                              dst_frozen[dst_row[losers]])
+        score = rng.randint(1, 1 << 30, cand.shape, np.int32) * cand
+        newc = np.argmax(score, axis=1)
+        movable = score[np.arange(len(losers)), newc] > 0
+        # empty-palette losers just retry next round
+        # roll back same-src-row pick collisions (keep one per (row,color))
+        k2 = src_row[losers] * np.int64(128) + newc
+        tbl[k2] = losers
+        keep = np.logical_and(tbl[k2] == losers, movable)
+        moved = losers[keep]
+        src_used[src_row[moved], color[moved]] = False
+        color[moved] = newc[keep]
+        src_used[src_row[moved], color[moved]] = True
+        live = losers
+    if len(live):
+        _augment_resolve(src_row, dst_row, color, live, src_used, dst_frozen,
+                         n_rows)
+    return color.astype(np.uint8)
+
+
+def _augment_resolve(src_row, dst_row, color, leftovers, src_used,
+                     dst_frozen, n_rows):
+    """Exact Kempe-chain fallback for the greedy tail (usually empty).
+
+    For a stuck element (free src colors and free dst colors disjoint):
+    pick a free at src, b free at dst; swap colors a<->b along the
+    ab-alternating chain through the already-frozen elements, which frees
+    a at the dst row (standard bipartite edge-coloring augmentation)."""
+    # element lookup tables per (row, color) on both sides
+    n = len(src_row)
+    src_at = np.full((n_rows, 128), -1, np.int64)
+    dst_at = np.full((n_rows, 128), -1, np.int64)
+    frozen = np.ones(n, bool)
+    frozen[leftovers] = False
+    idx = np.flatnonzero(frozen)
+    src_at[src_row[idx], color[idx]] = idx
+    dst_at[dst_row[idx], color[idx]] = idx
+
+    def place(e, c):
+        src_at[src_row[e], c] = e
+        dst_at[dst_row[e], c] = e
+        src_used[src_row[e], c] = True
+        dst_frozen[dst_row[e], c] = True
+        color[e] = c
+
+    for e in leftovers:
+        s, t = int(src_row[e]), int(dst_row[e])
+        free_s = np.flatnonzero(~src_used[s])
+        free_t = np.flatnonzero(~dst_frozen[t])
+        both = np.intersect1d(free_s, free_t)
+        src_used[s, color[e]] = False  # e is unplaced during the walk
+        if len(both):
+            place(e, int(both[0]))
+            continue
+        a, b = int(free_s[0]), int(free_t[0])
+        # flip colors a<->b along the ab-alternating chain from dst row t;
+        # bipartiteness guarantees the chain never reaches src row s, so
+        # after the flip `a` is free at both s and t.
+        chain = [int(dst_at[t, a])]
+        lookup_src = True  # alternate: src-side with b, dst-side with a
+        while True:
+            cur = chain[-1]
+            nxt = int(src_at[src_row[cur], b]) if lookup_src \
+                else int(dst_at[dst_row[cur], a])
+            if nxt < 0:
+                break
+            chain.append(nxt)
+            lookup_src = not lookup_src
+        for el in chain:  # clear old entries first, then re-place
+            c_old = int(color[el])
+            src_at[src_row[el], c_old] = -1
+            dst_at[dst_row[el], c_old] = -1
+            src_used[src_row[el], c_old] = False
+            dst_frozen[dst_row[el], c_old] = False
+        for el in chain:
+            place(el, a + b - int(color[el]))
+        place(e, a)
+
+
+def _exact_color(u, v, n_nodes):
+    """Exact 128-coloring of a 128-regular bipartite multigraph via the
+    native Euler-split routine; pure-python fallback for tiny inputs."""
+    try:
+        from pygraphblas_tpu import _fastio
+        col = np.frombuffer(
+            _fastio.benes_color(np.ascontiguousarray(u, np.int32).tobytes(),
+                                np.ascontiguousarray(v, np.int32).tobytes(),
+                                int(n_nodes), int(n_nodes), 7),
+            np.uint8)
+        return col.copy()
+    except ImportError:  # pragma: no cover - test envs always build it
+        return _exact_color_py(u, v, n_nodes)
+
+
+def _exact_color_py(u, v, n_nodes):  # pragma: no cover
+    """Reference implementation of recursive Euler-split coloring."""
+    m = len(u)
+    color = np.zeros(m, np.uint8)
+
+    def rec(ids, bits, base):
+        if bits == 0:
+            color[ids] = base
+            return
+        # orient: pair incident edges per node, walk trails
+        adj = {}
+        for e in ids:
+            adj.setdefault(("l", u[e]), []).append(e)
+            adj.setdefault(("r", v[e]), []).append(e)
+        slot = {}
+        for k, es in adj.items():
+            for i, e in enumerate(es):
+                slot[(k, e) if (k, e) not in slot else (k, e, 1)] = i
+        bit = {}
+        seen = set()
+        for e0 in ids:
+            if e0 in seen:
+                continue
+            e, side = e0, 0
+            while e not in seen:
+                seen.add(e)
+                bit[e] = side
+                key = ("r", v[e]) if side == 0 else ("l", u[e])
+                es = adj[key]
+                s = es.index(e)
+                ps = s ^ 1
+                e = es[ps]
+                side = 0 if key[0] == "l" else 1
+        i0 = np.array([e for e in ids if bit[e] == 0], np.int64)
+        i1 = np.array([e for e in ids if bit[e] == 1], np.int64)
+        rec(i0, bits - 1, base)
+        rec(i1, bits - 1, base + (1 << (bits - 1)))
+
+    rec(np.arange(m, dtype=np.int64), 7, 0)
+    return color
+
+
+def _complete_level0(pp, qq, c0, R):
+    """Extend the colored real elements to a full bijection on R*128
+    cells: pair each (src row, free color) with a (dst row, free color)
+    of the same color.  Returns full (p', q', color) arrays of length
+    R*128."""
+    n = len(pp)
+    src_used = np.zeros(R * 128, bool)
+    dst_used = np.zeros(R * 128, bool)
+    src_cell_used = np.zeros(R * 128, bool)
+    dst_cell_used = np.zeros(R * 128, bool)
+    c64 = c0.astype(np.int64)
+    src_used[(pp >> 7) * 128 + c64] = True
+    dst_used[(qq >> 7) * 128 + c64] = True
+    src_cell_used[pp] = True
+    dst_cell_used[qq] = True
+
+    # free (row, color) pairs, sorted by (color, row) so same-color pairs zip
+    fs = np.flatnonzero(~src_used)     # row*128 + color
+    fd = np.flatnonzero(~dst_used)
+    fs = fs[np.argsort(fs & 127, kind="stable")]
+    fd = fd[np.argsort(fd & 127, kind="stable")]
+    # junk src/dst CELLS per row, in row order; assign row-by-row:
+    # the i-th junk cell of row r pairs with the i-th free color of row r
+    js = np.flatnonzero(~src_cell_used)   # cell index = row*128 + lane
+    jd = np.flatnonzero(~dst_cell_used)
+    # fs is (row*128+color) sorted by color; reorder junk cells to match:
+    # sort fs by row to align with js (both per-row sequential), then the
+    # color-sorted order defines the pairing with fd.
+    fs_byrow = np.sort(fs)
+    fd_byrow = np.sort(fd)
+    # map: junk src cell js[i] gets color fs_byrow[i] & 127 (same row)
+    assert len(js) == len(fs_byrow) and len(jd) == len(fd_byrow)
+    # pair src and dst junk by color: order both sides by (color, row)
+    so = np.argsort(fs_byrow & 127, kind="stable")
+    do = np.argsort(fd_byrow & 127, kind="stable")
+    jp = js[so]
+    jq = jd[do]
+    jc = (fs_byrow[so] & 127).astype(np.uint8)
+    assert np.array_equal(jc, (fd_byrow[do] & 127).astype(np.uint8))
+
+    p_full = np.concatenate([pp, jp])
+    q_full = np.concatenate([qq, jq])
+    c_full = np.concatenate([c0, jc])
+    assert len(p_full) == R * 128
+    return p_full, q_full, c_full, n
+
+
+def _choose_shape(n, fill):
+    """Pick (D, S, R0): N' = S * 128^D, R0 = N'/128, R0*fill >= n."""
+    import math
+    r_min = -(-n // fill)
+    d = 1
+    while 128 ** (d - 1) * 16 < r_min:
+        d += 1
+    s = -(-r_min // (128 ** (d - 1)))
+    assert 1 <= s <= 16
+    r0 = s * 128 ** (d - 1)
+    return d, s, r0
+
+
+class PermPlan:
+    """Compiled routing for one static permutation: out[q] = in[src[q]]."""
+
+    __slots__ = ("n", "trivial", "src_idx", "D", "S", "R0", "K",
+                 "a_stages", "c_stages", "ssel", "pad_in", "pad_out")
+
+    def __init__(self):
+        pass
+
+    @staticmethod
+    def build(src, fill=112, seed=0):
+        """src: int array (N,), a permutation of 0..N-1.  out[q] = in[src[q]]."""
+        src = np.asarray(src, np.int64)
+        n = len(src)
+        plan = PermPlan()
+        plan.n = n
+        if n <= TRIVIAL_N:
+            plan.trivial = True
+            plan.src_idx = jnp.asarray(src.astype(np.int32))
+            return plan
+        plan.trivial = False
+        plan.src_idx = None
+
+        rng = np.random.RandomState(seed)
+        D, S, R0 = _choose_shape(n, fill)
+        K = min(128, -(-n // R0))  # lanes actually used per row
+        plan.D, plan.S, plan.R0, plan.K = D, S, R0, K
+
+        # embedding: element i of the in-array at cell (i//K)*128 + i%K
+        q = np.arange(n, dtype=np.int64)
+        pp = (src // K) * 128 + src % K
+        qq = (q // K) * 128 + q % K
+
+        c0 = _greedy_color(pp >> 7, qq >> 7, R0, rng)
+        p_full, q_full, c_full, _ = _complete_level0(pp, qq, c0, R0)
+
+        a_stages, c_stages = [], []
+        u = p_full       # current src cell index at this level, in [0, R_i*128)
+        v = q_full
+        g = np.zeros(R0 * 128, np.int64)   # subproblem id
+        for lvl in range(D):
+            rows = R0 // 128 ** lvl  # cells per subproblem row dimension
+            if lvl > 0:
+                # exact coloring of 128-regular subproblems (batched)
+                nodes = g * rows + (u >> 7)
+                nodes_v = g * rows + (v >> 7)
+                c_full = _exact_color(nodes, nodes_v, R0)
+            c64 = c_full.astype(np.int64)
+            # A_lvl[g*rows + u>>7, c] = u & 127 ; C_lvl[g*rows + v>>7, v&127] = c
+            a = np.tile(np.arange(128, dtype=np.uint8), (R0, 1))
+            c = a.copy()
+            a[g * rows + (u >> 7), c64] = (u & 127).astype(np.uint8)
+            c[g * rows + (v >> 7), (v & 127)] = c_full
+            a_stages.append(a)
+            c_stages.append(c)
+            g = g * 128 + c64
+            u = u >> 7
+            v = v >> 7
+        # bottom: u, v now in [0, S) per subproblem; sublane select
+        nsub = 128 ** (D - 1)
+        ssel = None
+        if S > 1:
+            ssel = np.zeros((nsub, S, 128), np.uint8)
+            ssel[g >> 7, v, (g & 127)] = u.astype(np.uint8)
+        plan.a_stages = [jnp.asarray(x.astype(np.int8)) for x in a_stages]
+        plan.c_stages = [jnp.asarray(x.astype(np.int8)) for x in c_stages]
+        plan.ssel = jnp.asarray(ssel.astype(np.int8)) if S > 1 else None
+        return plan
+
+    # -- execution ----------------------------------------------------------
+
+    def apply(self, x):
+        """Apply the permutation to a 1-D device array of length n.
+        Jit-composable; pure function of (plan arrays, x)."""
+        if self.trivial:
+            return jnp.take(x, self.src_idx)
+        return _apply_staged(x, self.n, self.D, self.S, self.R0, self.K,
+                             tuple(self.a_stages), tuple(self.c_stages),
+                             self.ssel)
+
+
+def _lane_gather(x2d, idx8):
+    """out[r, l] = x2d[r, idx[r, l]] — pallas on TPU, XLA elsewhere.
+    64-bit element types fall back to the XLA gather."""
+    idx = idx8.astype(jnp.int32)
+    if not _on_tpu() or x2d.dtype.itemsize > 4:
+        return jnp.take_along_axis(x2d, idx, axis=1)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nrows = x2d.shape[0]
+    blk = min(nrows, 2048)
+    assert nrows % blk == 0
+
+    def kern(i_ref, x_ref, o_ref):
+        # 32-bit trace: Mosaic cannot lower the 64-bit index vectors jnp
+        # helpers emit under jax_enable_x64
+        with jax.enable_x64(False):
+            o_ref[:] = jnp.take_along_axis(
+                x_ref[:], i_ref[:].astype(jnp.int32), axis=1)
+
+    with jax.enable_x64(False):  # index maps must trace 32-bit
+        return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
+        grid=(nrows // blk,),
+        in_specs=[pl.BlockSpec((blk, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((blk, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((blk, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(idx8, x2d)
+
+
+def _mid_pass(x3d, a8, ssel8, c8, s):
+    """Fused A_last + sublane-select + C_last within (S,128) tiles.
+    x3d: (nsub, S, 128)."""
+    a = a8.astype(jnp.int32).reshape(x3d.shape)
+    c = c8.astype(jnp.int32).reshape(x3d.shape)
+    if not _on_tpu() or x3d.dtype.itemsize > 4:
+        y = jnp.take_along_axis(x3d, a, axis=2)
+        if ssel8 is not None:
+            y = jnp.take_along_axis(y, ssel8.astype(jnp.int32), axis=1)
+        return jnp.take_along_axis(y, c, axis=2)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nsub = x3d.shape[0]
+    blk = 1
+    while blk * 2 * s * 128 * 4 <= (1 << 20) and nsub % (blk * 2) == 0:
+        blk *= 2
+
+    def kern(a_ref, s_ref, c_ref, x_ref, o_ref):
+        # Mosaic lane gathers are 2-D only: flatten (B, S, 128)->(B*S, 128)
+        with jax.enable_x64(False):
+            x3 = x_ref[:]
+            b = x3.shape[0]
+            ai = a_ref[:].reshape(b * s, 128).astype(jnp.int32)
+            y = jnp.take_along_axis(x3.reshape(b * s, 128), ai,
+                                    axis=1).reshape(b, s, 128)
+            if s > 1:
+                si = s_ref[:].astype(jnp.int32)
+                acc = jnp.zeros_like(y)
+                for s0 in range(s):
+                    acc = jnp.where(si == s0, y[:, s0:s0 + 1, :], acc)
+                y = acc
+            ci = c_ref[:].reshape(b * s, 128).astype(jnp.int32)
+            o_ref[:] = jnp.take_along_axis(y.reshape(b * s, 128), ci,
+                                           axis=1).reshape(b, s, 128)
+
+    args = [a8.reshape(x3d.shape),
+            ssel8 if ssel8 is not None else a8.reshape(x3d.shape),
+            c8.reshape(x3d.shape), x3d]
+    specs = [pl.BlockSpec((blk, s, 128), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM) for _ in args]
+    with jax.enable_x64(False):  # index maps must trace 32-bit
+        return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(x3d.shape, x3d.dtype),
+        grid=(nsub // blk,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((blk, s, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(*args)
+
+
+def _apply_staged(x, n, D, S, R0, K, a_stages, c_stages, ssel):
+    dtype = x.dtype
+    # embed: element i -> cell (i//K)*128 + (i%K)
+    pad_n = R0 * K - n
+    xe = jnp.concatenate([x, jnp.zeros((pad_n,), dtype)]) if pad_n else x
+    xe = xe.reshape(R0, K)
+    if K < 128:
+        xe = jnp.pad(xe, ((0, 0), (0, 128 - K)))
+    # descend: A stages with transposes between levels
+    cur = xe                      # (rows_total, 128) at each level
+    shapes = []
+    for lvl in range(D):
+        cur = _lane_gather(cur, a_stages[lvl]) if lvl < D - 1 else cur
+        if lvl < D - 1:
+            # transpose to next level: (G, R_l, 128) -> (G, 128, R_l)
+            g_count = cur.shape[0] // (R0 // 128 ** lvl)
+            r_l = R0 // 128 ** lvl
+            t = cur.reshape(g_count, r_l, 128)
+            shapes.append((g_count, r_l))
+            t = jnp.swapaxes(t, 1, 2)
+            cur = t.reshape(g_count * 128 * (r_l // 128), 128) \
+                if r_l >= 128 else t.reshape(g_count * 128, r_l)
+    # bottom level: fused A + select + C within (S,128) tiles
+    nsub = cur.shape[0] // S
+    cur = _mid_pass(cur.reshape(nsub, S, 128), a_stages[D - 1], ssel,
+                    c_stages[D - 1], S).reshape(nsub * S, 128)
+    # ascend: inverse transposes + C stages
+    for lvl in range(D - 2, -1, -1):
+        g_count, r_l = shapes[lvl]
+        t = cur.reshape(g_count, 128, r_l)
+        t = jnp.swapaxes(t, 1, 2)
+        cur = t.reshape(g_count * r_l, 128)
+        cur = _lane_gather(cur, c_stages[lvl])
+    # extract
+    out = cur[:, :K].reshape(R0 * K)[:n]
+    return out

@@ -1,0 +1,216 @@
+"""Gather-free semiring SpMV: the x-decode / permute / fold pipeline.
+
+This is the TPU-native replacement for SuiteSparse's masked SpMV C
+kernels (reference call sites: ``lib.GrB_mxv`` at matrix.py:2716,
+``lib.GrB_vxm`` at vector.py:961).  Design driven by measured hardware
+behavior (PERF.md): arbitrary XLA gathers/scatters cost ~8 cyc/element,
+so every irregular move is restructured into monotone windowed gathers
+(core/mono.py), one static Benes permutation (core/perm.py), and
+dense lanewise folds:
+
+  1. decode+mul   xe = mul(vals, x[col]) in column-sorted order — the
+                  column index sequence is monotone, so this is a
+                  windowed lane-gather, not a scatter/gather.
+  2. permute      one static Benes permutation moves products from
+                  column order to a slot-major row-grouped layout
+                  (8 slots x M groups, each group = 8 edges of one row).
+  3. fold         axis-0 fold (8, M) -> per-group partials, then log8
+                  levels of slot-major monotone-gather folds; rows
+                  retire once reduced to a single cell.
+  4. place        per retirement level, one masked monotone placement
+                  into the dense output vector.
+
+All plan data is static per (matrix, orientation, dtype); execution is
+a pure jit-composable function, so whole algorithm loops (fused.py)
+compile to single XLA programs with zero per-iteration dispatch.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .mono import MonoPlan, mono_gather
+from .perm import PermPlan
+
+# build cost is significant (seconds): only worth it on the hot path
+MIN_NNZ = 1 << 15
+
+_ADDS = {
+    "PLUS": (lambda a, b: a + b, "add"),
+    "MIN": (jnp.minimum, "min"),
+    "MAX": (jnp.maximum, "max"),
+    "TIMES": (lambda a, b: a * b, "times"),
+}
+
+_MULS = {
+    "TIMES": lambda a, b: a * b,
+    "PLUS": lambda a, b: a + b,
+    "MINUS": lambda a, b: a - b,
+    "RMINUS": lambda a, b: b - a,
+    "DIV": lambda a, b: a / b,
+    "RDIV": lambda a, b: b / a,
+    "FIRST": lambda a, b: a,
+    "SECOND": lambda a, b: b,
+    "PAIR": lambda a, b: jnp.ones_like(a),
+    "MIN": jnp.minimum,
+    "MAX": jnp.maximum,
+}
+
+
+def supported(semiring, dtype, nnz):
+    if nnz < MIN_NNZ:
+        return False
+    add = semiring.add_monoid.binaryop
+    mul = semiring.mul_op
+    return (add.builtin and mul.builtin and add.op in _ADDS
+            and mul.op in _MULS and not mul.positional
+            and np.dtype(dtype).kind in "fiu")
+
+
+class XSpmvPlan:
+    """Static plan for y[r] = fold_c mul(A[r,c], x[c]) on one matrix."""
+
+    __slots__ = ("nrows", "ncols", "nnz", "dtype", "decode", "perm",
+                 "n_perm", "m1", "vals_col", "levels", "places",
+                 "masks", "row_present", "s1")
+
+    @staticmethod
+    def build(rows, cols, vals, nrows, ncols, dtype):
+        """rows/cols/vals: canonical COO (any order), numpy arrays."""
+        p = XSpmvPlan()
+        rows = np.asarray(rows, np.int64)
+        cols = np.asarray(cols, np.int64)
+        nnz = len(rows)
+        dtype = np.dtype(dtype)
+        p.nrows, p.ncols, p.nnz, p.dtype = nrows, ncols, nnz, dtype
+
+        # --- column order: decode plan + values ---------------------------
+        corder = np.lexsort((rows, cols))
+        colv = cols[corder]
+        p.decode = MonoPlan.build(colv, ncols, dtype.itemsize)
+        vc = np.zeros(p.decode.S * 128, dtype)
+        vc[:nnz] = np.asarray(vals, dtype)[corder]
+        p.vals_col = jnp.asarray(vc)
+        p.s1 = p.decode.S
+
+        # --- row order: degrees, group offsets, slot-major dst ------------
+        rorder = np.lexsort((cols, rows))
+        rsorted = rows[rorder]
+        urows, starts, degs = np.unique(rsorted, return_index=True,
+                                        return_counts=True)
+        g_r = -(-degs // 8)                       # level-1 groups per row
+        gof = np.zeros(len(urows), np.int64)
+        gof[1:] = np.cumsum(g_r)[:-1]
+        m1 = int(g_r.sum()) if len(g_r) else 1
+        m1p = -(-m1 // 128) * 128
+        p.m1 = m1p
+        # bijection space: covers both the slot-major dst (8*m1p) and the
+        # (possibly longer, row-padded) decode output (S1*128)
+        n_perm = max(8 * m1p, p.decode.S * 128)
+        p.n_perm = n_perm
+
+        # dst position of edge: k-th edge of row r (col order within row)
+        k_within = np.arange(nnz) - np.repeat(starts, degs)
+        grp = np.repeat(gof, degs) + k_within // 8
+        slot = k_within % 8
+        dstpos = slot * m1p + grp                 # position of rorder[i]
+        # src position (col-order index) of the same edge
+        inv_corder = np.empty(nnz, np.int64)
+        inv_corder[corder] = np.arange(nnz)
+        srcpos = inv_corder[rorder]
+        # complete to a bijection on n_perm: pads <-> pads
+        src_of_dst = np.full(n_perm, -1, np.int64)
+        src_of_dst[dstpos] = srcpos
+        free_dst = np.flatnonzero(src_of_dst < 0)
+        free_src = np.setdiff1d(np.arange(n_perm, dtype=np.int64), srcpos,
+                                assume_unique=False)
+        src_of_dst[free_dst] = free_src
+        p.perm = PermPlan.build(src_of_dst)
+
+        # --- reduction levels + retirement placements ---------------------
+        # level k (k >= 1) folds F_k cells (counts c_k per row) to c_{k+1}
+        levels = []      # MonoPlan per fold level (slot-major idx into F_k)
+        places = []      # MonoPlan per level: y placement for retiring rows
+        masks = []       # (nrows,) bool per level
+        c_k = g_r        # cells per row in F_1
+        off_k = gof      # row offsets in F_1
+        while True:
+            retire = c_k == 1
+            pos_y = np.full(nrows, -1, np.int64)
+            pos_y[urows[retire]] = off_k[retire]
+            mask = np.zeros(nrows, bool)
+            mask[urows[retire]] = True
+            places.append(MonoPlan.build(pos_y, int(c_k.sum()),
+                                         dtype.itemsize))
+            masks.append(jnp.asarray(mask))
+            if retire.all():
+                break
+            act = ~retire
+            c_n = -(-c_k // 8)
+            c_n_act = c_n[act]
+            off_n = np.zeros(len(urows), np.int64)
+            off_n_act = np.zeros(len(c_n_act), np.int64)
+            off_n_act[1:] = np.cumsum(c_n_act)[:-1]
+            off_n[act] = off_n_act
+            m_next = int(c_n_act.sum())
+            m_next_p = -(-m_next // 128) * 128
+            # slot-major child index: child s of group j of active row r is
+            # F_k[off_k[r] + 8j + s]; groups laid out blockwise: for each
+            # block of 128 groups, 8 slot rows of 128.
+            gidx = np.full((m_next_p // 128, 8, 128), -1, np.int64)
+            rr = np.repeat(np.arange(len(urows))[act], c_n_act)
+            jj = np.arange(m_next) - np.repeat(off_n_act, c_n_act)
+            base = off_k[rr] + 8 * jj
+            lim = off_k[rr] + c_k[rr]
+            for s in range(8):
+                child = base + s
+                ok = child < lim
+                gidx[np.arange(m_next) // 128, s,
+                     np.arange(m_next) % 128] = np.where(ok, child, -1)
+            levels.append(MonoPlan.build(gidx.reshape(-1),
+                                         int(c_k.sum()), dtype.itemsize))
+            # advance: rows remaining are the active ones
+            urows = urows[act]
+            c_k = c_n_act
+            off_k = off_n_act
+        p.levels = levels
+        p.places = places
+        p.masks = masks
+        rp = np.zeros(nrows, bool)
+        rp[rows] = True
+        p.row_present = jnp.asarray(rp)
+        return p
+
+
+def xspmv(plan, x, semiring, out_dtype):
+    """Execute y = A (add.mul) x with dense x; returns (y, present_mask)."""
+    out_dtype = np.dtype(out_dtype)
+    addop = semiring.add_monoid.binaryop.op
+    fold = _ADDS[addop][0]
+    mul = _MULS[semiring.mul_op.op]
+    ident = np.asarray(semiring.add_monoid.identity(out_dtype))
+    fill = ident[()] if ident.shape == () else ident
+
+    xx = x.astype(out_dtype)
+    prod = mono_gather(plan.decode, xx, fill, vals=plan.vals_col, mul=mul)
+    flat = prod.reshape(-1)
+    if plan.n_perm > flat.shape[0]:
+        flat = jnp.concatenate(
+            [flat, jnp.full((plan.n_perm - flat.shape[0],), fill, out_dtype)])
+    moved = plan.perm.apply(flat)[:8 * plan.m1]
+    # level-0 fold: slot-major (8, m1) -> per-group partials
+    fk = moved.reshape(8, plan.m1)
+    acc = fk[0]
+    for s in range(1, 8):
+        acc = fold(acc, fk[s])
+    f_list = [acc]
+    for lp in plan.levels:
+        nxt = mono_gather(lp, f_list[-1].reshape(-1), fill, fold=fold)
+        f_list.append(nxt.reshape(-1))
+    # placements
+    y = jnp.full((plan.nrows,), fill, out_dtype)
+    for pl_plan, mask, fsrc in zip(plan.places, plan.masks, f_list):
+        placed = mono_gather(pl_plan, fsrc.reshape(-1), fill)
+        placed = placed.reshape(-1)[:plan.nrows]
+        y = jnp.where(mask, placed, y)
+    return y, plan.row_present

@@ -19,9 +19,19 @@ import jax.numpy as jnp
 
 from .vector import Vector
 from .core import csr8
+from .core import xspmv as xs
+from .base import config
 from . import types
 
 __all__ = ["pagerank", "bfs_level", "sssp"]
+
+
+def _xspmv_ok(A, semiring, dtype):
+    if config.spmv_engine == "csr8":
+        return False
+    if config.spmv_engine == "xspmv":
+        return True
+    return xs.supported(semiring, dtype, A.nvals)
 
 
 def _plan_args(A, transpose):
@@ -72,24 +82,60 @@ def _pagerank_loop(plan_cols, plan_vals, levels, final_src, n_blocks,
     return r, rdiff, iters
 
 
-def pagerank(A, damping=0.85, itermax=100, tol=1e-4):
-    """Whole-loop-fused PageRank; returns a dense FP32 Vector.
-
-    Single compiled executable: per-iteration cost is pure kernel time.
-    """
+def _deg_vec(A):
     n = A.nrows
-    plan, args = _plan_args(A, True)  # transposed orientation
     if "deg" not in A._ell_c:
         r_host, _, _ = A._coo()
         deg_h = np.zeros(n, np.float32)
         np.add.at(deg_h, r_host, 1.0)
         A._ell_c["deg"] = jnp.asarray(deg_h)
-    deg = A._ell_c["deg"]
-    d_inv = jnp.where(deg > 0, damping / jnp.maximum(deg, 1.0), 0.0)
-    r, rdiff, iters = _pagerank_loop(
-        args[0], args[1].astype(jnp.float32), args[2], args[3],
-        plan.n_blocks, n, itermax, d_inv.astype(jnp.float32),
-        jnp.float32((1 - damping) / n), jnp.float32(tol))
+    return A._ell_c["deg"]
+
+
+def pagerank(A, damping=0.85, itermax=100, tol=1e-4):
+    """Whole-loop-fused PageRank; returns a dense FP32 Vector.
+
+    Single compiled executable: per-iteration cost is pure kernel time.
+    Uses the gather-free xspmv engine (core/xspmv.py) when supported.
+    """
+    n = A.nrows
+    sem = types.FP32.PLUS_SECOND
+    if _xspmv_ok(A, sem, np.float32):
+        plan = A._xspmv_plan(True, np.float32)  # y = A^T w
+        key = "fused_pr_x"
+        if key not in A._ell_c:
+            @partial(jax.jit, static_argnames=("itermax",))
+            def loop(d_inv_damped, teleport, tol, itermax):
+                r0 = jnp.full((n,), 1.0 / n, jnp.float32)
+
+                def cond(carry):
+                    r, rdiff, i = carry
+                    return jnp.logical_and(rdiff > tol, i < itermax)
+
+                def body(carry):
+                    r, _, i = carry
+                    w = r * d_inv_damped
+                    contrib, _ = xs.xspmv(plan, w, sem, np.float32)
+                    r_new = teleport + contrib
+                    return r_new, jnp.sum(jnp.abs(r_new - r)), i + 1
+
+                return jax.lax.while_loop(
+                    cond, body, (r0, jnp.float32(np.inf), jnp.int32(0)))
+
+            A._ell_c[key] = loop
+        deg = _deg_vec(A)
+        d_inv = jnp.where(deg > 0, damping / jnp.maximum(deg, 1.0), 0.0)
+        r, rdiff, iters = A._ell_c[key](
+            d_inv.astype(jnp.float32), jnp.float32((1 - damping) / n),
+            jnp.float32(tol), itermax)
+    else:
+        plan, args = _plan_args(A, True)  # transposed orientation
+        deg = _deg_vec(A)
+        d_inv = jnp.where(deg > 0, damping / jnp.maximum(deg, 1.0), 0.0)
+        r, rdiff, iters = _pagerank_loop(
+            args[0], args[1].astype(jnp.float32), args[2], args[3],
+            plan.n_blocks, n, itermax, d_inv.astype(jnp.float32),
+            jnp.float32((1 - damping) / n), jnp.float32(tol))
     out = Vector.sparse(types.FP32, n)
     out._set_dense(r, jnp.ones((n,), jnp.bool_))
     return out
@@ -166,6 +212,37 @@ def sssp(A, start):
     """Whole-loop-fused Bellman-Ford SSSP (min_plus); returns a Vector of
     distances (unreachable absent)."""
     n = A.nrows
+    npdt = A.type._numpy_t
+    sem = getattr(A.type, "MIN_PLUS", None)
+    if sem is not None and np.dtype(npdt).kind == "f" \
+            and _xspmv_ok(A, sem, npdt):
+        plan = A._xspmv_plan(True, npdt)
+        key = "fused_sssp_x"
+        if key not in A._ell_c:
+            @jax.jit
+            def loop(start):
+                inf = jnp.asarray(np.inf, npdt)
+                dist = jnp.full((n,), inf).at[start].set(0.0)
+
+                def cond(carry):
+                    dist, changed, i = carry
+                    return jnp.logical_and(changed, i < n)
+
+                def body(carry):
+                    dist, _, i = carry
+                    relax, _ = xs.xspmv(plan, dist, sem, npdt)
+                    new = jnp.minimum(dist, relax)
+                    return new, jnp.any(new < dist), i + 1
+
+                d, _, _ = jax.lax.while_loop(cond, body,
+                                             (dist, True, jnp.int32(0)))
+                return d
+
+            A._ell_c[key] = loop
+        dist = A._ell_c[key](jnp.int32(start))
+        out = Vector.sparse(A.type, n)
+        out._set_dense(dist.astype(A.type._jnp_dtype()), jnp.isfinite(dist))
+        return out
     plan, args = _plan_args(A, True)
     dist = _sssp_loop(args[0], args[1], args[2], args[3], plan.n_blocks, n,
                       jnp.int32(start))

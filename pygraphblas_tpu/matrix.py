@@ -1729,6 +1729,26 @@ class Matrix:
                                             self._ncols)
         return self._ell_c[key]
 
+    def _xspmv_plan(self, transpose, dtype):
+        """Gather-free decode/permute/fold SpMV plan (core/xspmv.py),
+        cached per (orientation, dtype)."""
+        from .core.xspmv import XSpmvPlan
+
+        self._flush()
+        if self._ell_c is None:
+            self._ell_c = {}
+        key = ("x", bool(transpose), np.dtype(dtype).str)
+        if key not in self._ell_c:
+            r, c, v = self._coo()
+            if transpose:
+                r, c = c, r
+                nr, nc = self._ncols, self._nrows
+            else:
+                nr, nc = self._nrows, self._ncols
+            self._ell_c[key] = XSpmvPlan.build(r, c, v, nr, nc,
+                                               np.dtype(dtype))
+        return self._ell_c[key]
+
     def _sparse_mxv(self, other, semiring, out, mask, accum, desc,
                     transpose):
         """SpMV for huge matrices: scatter-free csr8 gather-pyramid kernel

@@ -1,0 +1,61 @@
+"""Monotone windowed gather (core/mono.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pygraphblas_tpu.core.mono import MonoPlan, mono_gather
+
+
+def test_plain_with_invalid():
+    rng = np.random.RandomState(3)
+    src_n = 5000
+    idx = np.sort(rng.randint(0, src_n, 1000))
+    idx[::7] = -1
+    plan = MonoPlan.build(idx, src_n)
+    src = jnp.asarray(rng.rand(src_n).astype(np.float32))
+    out = np.asarray(mono_gather(plan, src, 0.0)).reshape(-1)[:1000]
+    want = np.where(idx >= 0, np.asarray(src)[np.clip(idx, 0, None)], 0.0)
+    assert np.allclose(out, want)
+
+
+def test_fused_mul():
+    rng = np.random.RandomState(4)
+    src_n = 3000
+    idx = np.sort(rng.randint(0, src_n, 2000))
+    plan = MonoPlan.build(idx, src_n)
+    src = jnp.asarray(rng.rand(src_n).astype(np.float32))
+    vals = jnp.asarray(rng.rand(plan.S * 128).astype(np.float32))
+    out = np.asarray(mono_gather(plan, src, 0.0, vals=vals,
+                                 mul=lambda a, b: a * b)).reshape(-1)[:2000]
+    want = np.asarray(vals)[:2000] * np.asarray(src)[idx]
+    assert np.allclose(out, want)
+
+
+def test_fold8():
+    rng = np.random.RandomState(5)
+    src_n = 4000
+    n = 64 * 128  # S = 64 rows -> 8 fold groups
+    idx = np.sort(rng.randint(0, src_n, n))
+    plan = MonoPlan.build(idx, src_n)
+    src = jnp.asarray(rng.rand(src_n).astype(np.float32))
+    out = np.asarray(mono_gather(plan, src, 0.0, fold=lambda a, b: a + b))
+    want = np.asarray(src)[idx].reshape(plan.S // 8, 8, 128).sum(axis=1)
+    assert np.allclose(out, want, rtol=1e-5)
+
+
+def test_fold_min_identity():
+    rng = np.random.RandomState(6)
+    src_n = 1000
+    n = 16 * 128
+    idx = np.sort(rng.randint(0, src_n, n))
+    idx[-100:] = -1  # invalid tail folds to +inf identity
+    idx = np.sort(idx)[::-1] * -1  # keep non-decreasing among valid
+    idx = np.where(idx > 0, -1, -idx)
+    idx.sort()
+    idx = np.concatenate([idx[idx >= 0], np.full((idx < 0).sum(), -1)])
+    plan = MonoPlan.build(idx, src_n)
+    src = jnp.asarray(rng.rand(src_n).astype(np.float32))
+    out = np.asarray(mono_gather(plan, src, np.inf, fold=jnp.minimum))
+    g = np.where(idx >= 0, np.asarray(src)[np.clip(idx, 0, None)],
+                 np.inf).reshape(plan.S // 8, 8, 128)
+    assert np.allclose(out, g.min(axis=1), rtol=1e-6)
