@@ -269,7 +269,7 @@ struct BenesCtx {
   std::vector<int64_t> seg;    // per node-key: -(segment start + 1), or 0
   std::vector<int64_t> fill;   // per node-key: fill cursor
   std::vector<int32_t> adj;    // incidence slots -> local edge id
-  std::vector<int64_t> eslot;  // per local edge: slot at u (2e), at v (2e+1)
+  std::vector<int32_t> eslot;  // per local edge: slot at u (2e), at v (2e+1)
   std::vector<uint8_t> vis;    // per local edge
   std::vector<uint8_t> bit;    // per local edge
   std::vector<int32_t> su, sv, sid;  // partition scratch (size m)
@@ -309,8 +309,8 @@ static void benes_orient(BenesCtx& c, const int32_t* uu, const int32_t* vv,
     int64_t sv_ = c.fill[2 * (int64_t)vv[i] + 1]++;
     c.adj[su_] = (int32_t)i;
     c.adj[sv_] = (int32_t)i;
-    c.eslot[2 * i] = su_;
-    c.eslot[2 * i + 1] = sv_;
+    c.eslot[2 * i] = (int32_t)su_;
+    c.eslot[2 * i + 1] = (int32_t)sv_;
   }
   // walk trails: partner slot of s within segment [st, ..) is st + ((s-st)^1)
   for (int64_t i = 0; i < n; ++i) {

@@ -79,6 +79,8 @@ def _greedy_color(src_row, dst_row, n_rows, rng):
     dst_frozen = np.zeros((n_rows, 128), bool)
     live = np.arange(n)
     tbl = np.empty(n_rows * 128, np.int64)
+    stall = 0
+    prev = n + 1
     for _round in range(_MAX_GREEDY_ROUNDS):
         key = dst_row[live] * np.int64(128) + color[live]
         tbl[key] = live  # last writer among live claimants wins
@@ -89,11 +91,23 @@ def _greedy_color(src_row, dst_row, n_rows, rng):
         if len(losers) == 0:
             live = losers
             break
+        # plateau: hand the stubborn tail (high-multiplicity (src,dst)
+        # pairs whose random picks keep colliding) to the exact
+        # Kempe-chain augmenter instead of churning rounds
+        stall = stall + 1 if len(losers) > 0.7 * prev else 0
+        prev = len(losers)
+        if stall >= 4 or len(losers) <= max(256, n // 2000):
+            live = losers
+            break
         # recolor: a random color free in the src row AND not frozen in the
         # dst row (the intersection palette — required for convergence)
         cand = ~np.logical_or(src_used[src_row[losers]],
                               dst_frozen[dst_row[losers]])
-        score = rng.randint(1, 1 << 30, cand.shape, np.int32) * cand
+        # uniform-ish random candidate pick with one random per loser:
+        # argmax of the rotated lane index over candidates
+        rot = rng.randint(0, 128, len(losers)).astype(np.int32)
+        lanes = np.arange(128, dtype=np.int32)
+        score = cand * (((lanes[None, :] + rot[:, None]) & 127) + 1)
         newc = np.argmax(score, axis=1)
         movable = score[np.arange(len(losers)), newc] > 0
         # empty-palette losers just retry next round
@@ -120,7 +134,9 @@ def _augment_resolve(src_row, dst_row, color, leftovers, src_used,
     pick a free at src, b free at dst; swap colors a<->b along the
     ab-alternating chain through the already-frozen elements, which frees
     a at the dst row (standard bipartite edge-coloring augmentation)."""
-    # element lookup tables per (row, color) on both sides
+    # element lookup tables per (row, color) on both sides; occupancy is
+    # rebuilt from the placed (non-leftover) elements only — leftovers'
+    # stale colors must not block or be released twice
     n = len(src_row)
     src_at = np.full((n_rows, 128), -1, np.int64)
     dst_at = np.full((n_rows, 128), -1, np.int64)
@@ -129,6 +145,10 @@ def _augment_resolve(src_row, dst_row, color, leftovers, src_used,
     idx = np.flatnonzero(frozen)
     src_at[src_row[idx], color[idx]] = idx
     dst_at[dst_row[idx], color[idx]] = idx
+    src_used[:] = False
+    src_used[src_row[idx], color[idx]] = True
+    dst_frozen[:] = False
+    dst_frozen[dst_row[idx], color[idx]] = True
 
     def place(e, c):
         src_at[src_row[e], c] = e
@@ -142,7 +162,6 @@ def _augment_resolve(src_row, dst_row, color, leftovers, src_used,
         free_s = np.flatnonzero(~src_used[s])
         free_t = np.flatnonzero(~dst_frozen[t])
         both = np.intersect1d(free_s, free_t)
-        src_used[s, color[e]] = False  # e is unplaced during the walk
         if len(both):
             place(e, int(both[0]))
             continue

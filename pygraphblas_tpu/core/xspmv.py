@@ -25,6 +25,10 @@ a pure jit-composable function, so whole algorithm loops (fused.py)
 compile to single XLA programs with zero per-iteration dispatch.
 """
 
+import hashlib
+import os
+import pickle
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -34,6 +38,13 @@ from .perm import PermPlan
 
 # build cost is significant (seconds): only worth it on the hot path
 MIN_NNZ = 1 << 15
+
+# plan building costs minutes at GAP scale (the Benes routing); plans are
+# pure functions of the matrix structure, so cache them on disk keyed by
+# content hash (analogous to the reference's .grb binfile caches,
+# gap/prmark.py:48)
+PLAN_CACHE_DIR = os.environ.get("PYGB_PLAN_CACHE", "/tmp/pygb_plans")
+_PLAN_VERSION = 1
 
 _ADDS = {
     "PLUS": (lambda a, b: a + b, "add"),
@@ -75,8 +86,37 @@ class XSpmvPlan:
                  "masks", "row_present", "s1")
 
     @staticmethod
-    def build(rows, cols, vals, nrows, ncols, dtype):
+    def build(rows, cols, vals, nrows, ncols, dtype, cache=True):
         """rows/cols/vals: canonical COO (any order), numpy arrays."""
+        key = None
+        if cache and len(rows) >= (1 << 20):
+            h = hashlib.sha1()
+            h.update(np.ascontiguousarray(rows, np.int64).tobytes())
+            h.update(np.ascontiguousarray(cols, np.int64).tobytes())
+            h.update(np.ascontiguousarray(vals).tobytes())
+            h.update(f"{nrows}|{ncols}|{np.dtype(dtype).str}|"
+                     f"{_PLAN_VERSION}".encode())
+            key = os.path.join(PLAN_CACHE_DIR, h.hexdigest() + ".plan")
+            if os.path.exists(key):
+                try:
+                    with open(key, "rb") as f:
+                        return pickle.load(f)
+                except Exception:
+                    pass
+        p = XSpmvPlan._build(rows, cols, vals, nrows, ncols, dtype)
+        if key is not None:
+            try:
+                os.makedirs(PLAN_CACHE_DIR, exist_ok=True)
+                tmp = key + f".tmp{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    pickle.dump(p, f, protocol=4)
+                os.replace(tmp, key)
+            except Exception:
+                pass
+        return p
+
+    @staticmethod
+    def _build(rows, cols, vals, nrows, ncols, dtype):
         p = XSpmvPlan()
         rows = np.asarray(rows, np.int64)
         cols = np.asarray(cols, np.int64)
@@ -122,8 +162,9 @@ class XSpmvPlan:
         src_of_dst = np.full(n_perm, -1, np.int64)
         src_of_dst[dstpos] = srcpos
         free_dst = np.flatnonzero(src_of_dst < 0)
-        free_src = np.setdiff1d(np.arange(n_perm, dtype=np.int64), srcpos,
-                                assume_unique=False)
+        # srcpos is a permutation of [0, nnz): the free sources are
+        # exactly the pad tail
+        free_src = np.arange(nnz, n_perm, dtype=np.int64)
         src_of_dst[free_dst] = free_src
         p.perm = PermPlan.build(src_of_dst)
 
