@@ -176,11 +176,43 @@ def _bfs_loop(plan_cols, plan_pad, levels, final_src, n_blocks, n, start):
 
 def bfs_level(A, start):
     """Whole-loop-fused level-synchronous BFS (vxm = transposed SpMV);
-    returns an INT64 Vector of 1-based levels (unreached absent)."""
+    returns an INT64 Vector of 1-based levels (unreached absent).
+
+    The xspmv engine runs the boolean frontier step as MAX_SECOND over a
+    0/1 fp32 frontier (LOR on {0,1} == MAX), keeping the whole loop in
+    the gather-free pipeline."""
     n = A.nrows
-    plan, args = _plan_args(A, True)
-    lv = _bfs_loop(args[0], plan.pad_mask, args[2], args[3], plan.n_blocks,
-                   n, jnp.int32(start))
+    sem = types.FP32.MAX_SECOND
+    if _xspmv_ok(A, sem, np.float32):
+        plan = A._xspmv_plan(True, np.float32)
+        key = "fused_bfs_x"
+        if key not in A._ell_c:
+            @jax.jit
+            def loop(start):
+                lv = jnp.zeros((n,), jnp.int32)
+                frontier = jnp.zeros((n,), jnp.float32).at[start].set(1.0)
+
+                def cond(carry):
+                    lv, frontier, level = carry
+                    return jnp.logical_and(jnp.any(frontier > 0), level <= n)
+
+                def body(carry):
+                    lv, frontier, level = carry
+                    lv = jnp.where(frontier > 0, level, lv)
+                    nxt, _ = xs.xspmv(plan, frontier, sem, np.float32)
+                    nxt = jnp.where(lv == 0, jnp.maximum(nxt, 0.0), 0.0)
+                    return lv, nxt, level + 1
+
+                lv, _, _ = jax.lax.while_loop(
+                    cond, body, (lv, frontier, jnp.int32(1)))
+                return lv
+
+            A._ell_c[key] = loop
+        lv = A._ell_c[key](jnp.int32(start))
+    else:
+        plan, args = _plan_args(A, True)
+        lv = _bfs_loop(args[0], plan.pad_mask, args[2], args[3],
+                       plan.n_blocks, n, jnp.int32(start))
     lv = lv.astype(jnp.int64)
     out = Vector.sparse(types.INT64, n)
     out._set_dense(lv, lv > 0)

@@ -86,6 +86,22 @@ def test_fused_pagerank_engines_agree(monkeypatch):
     assert np.allclose(v1, v2, atol=1e-5)
 
 
+def test_fused_bfs_engines_agree(monkeypatch):
+    monkeypatch.setattr(X, "MIN_NNZ", 1)
+    r, c, v, _ = _rand_coo(600, 600, 5000, 13)
+    A = Matrix.from_lists(list(r), list(c), list(np.float32(v)), 600, 600,
+                          typ=types.FP32)
+    options_set(spmv_engine="csr8")
+    try:
+        l1 = fused.bfs_level(A, 0)
+        A._ell_c.pop("fused_bfs_x", None)
+        options_set(spmv_engine="xspmv")
+        l2 = fused.bfs_level(A, 0)
+    finally:
+        options_set(spmv_engine="auto")
+    assert l1.iseq(l2)
+
+
 def test_fused_sssp_engines_agree(monkeypatch):
     monkeypatch.setattr(X, "MIN_NNZ", 1)
     r, c, v, _ = _rand_coo(400, 400, 3000, 11)
