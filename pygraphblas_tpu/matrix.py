@@ -1751,14 +1751,26 @@ class Matrix:
 
     def _sparse_mxv(self, other, semiring, out, mask, accum, desc,
                     transpose):
-        """SpMV for huge matrices: scatter-free csr8 gather-pyramid kernel
-        when the algebra allows, else COO segment reduce."""
+        """SpMV for huge matrices: the gather-free xspmv pipeline for a
+        dense x when its plan is warm (or forced), else the scatter-free
+        csr8 gather-pyramid kernel, else COO segment reduce."""
         from .core import sparse as sk
         from .core import csr8 as pk
+        from .core import xspmv as xs
+        from .base import config
 
         xv, xm = other._dense_pair()
         zt = np.dtype(semiring.ztype._numpy_t)
-        if pk.plan_supported(semiring):
+        xkey = ("x", bool(transpose), zt.str)
+        use_x = (config.spmv_engine != "csr8"
+                 and other.nvals == other.size
+                 and xs.supported(semiring, zt, self.nvals)
+                 and (config.spmv_engine == "xspmv"
+                      or (self._ell_c is not None and xkey in self._ell_c)))
+        if use_x:
+            tv, tm = xs.xspmv(self._xspmv_plan(transpose, zt),
+                              xv.astype(zt), semiring, zt)
+        elif pk.plan_supported(semiring):
             tv, tm = pk.run_spmv_masked(self._spmv_plan(transpose), xv, xm,
                                         semiring, zt)
         else:

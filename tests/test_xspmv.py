@@ -86,6 +86,31 @@ def test_fused_pagerank_engines_agree(monkeypatch):
     assert np.allclose(v1, v2, atol=1e-5)
 
 
+def test_eager_mxv_engines_agree(monkeypatch):
+    monkeypatch.setattr(X, "MIN_NNZ", 1)
+    from pygraphblas_tpu import Vector
+    r, c, v, rng = _rand_coo(300, 300, 4000, 21)
+    A = Matrix.from_lists(list(r), list(c), list(np.float32(v)), 300, 300,
+                          typ=types.FP32)
+    x = Vector.from_lists(list(range(300)),
+                          list(rng.rand(300).astype(np.float32)), 300,
+                          typ=types.FP32)
+    options_set(spmv_engine="csr8")
+    try:
+        y1 = A.mxv(x)
+        options_set(spmv_engine="xspmv")
+        y2 = A.mxv(x)
+        y3 = x.vxm(A)
+        options_set(spmv_engine="csr8")
+        y4 = x.vxm(A)
+    finally:
+        options_set(spmv_engine="auto")
+    assert np.allclose(np.asarray(y1._dense_pair(np.float32)[0]),
+                       np.asarray(y2._dense_pair(np.float32)[0]), rtol=1e-5)
+    assert np.allclose(np.asarray(y3._dense_pair(np.float32)[0]),
+                       np.asarray(y4._dense_pair(np.float32)[0]), rtol=1e-5)
+
+
 def test_fused_bfs_engines_agree(monkeypatch):
     monkeypatch.setattr(X, "MIN_NNZ", 1)
     r, c, v, _ = _rand_coo(600, 600, 5000, 13)
