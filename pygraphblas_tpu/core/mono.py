@@ -60,8 +60,10 @@ class MonoPlan:
     def build(idx, src_n, itemsize=4):
         idx = np.asarray(idx, np.int64)
         n = len(idx)
-        S = max(8, -(-n // 128))
-        S = -(-S // 8) * 8
+        # S multiple of 64: fold-mode output blocks are S/8 rows and the
+        # TPU requires block rows divisible by 8
+        S = max(64, -(-n // 128))
+        S = -(-S // 64) * 64
         pad = S * 128 - n
         if pad:
             idx = np.concatenate([idx, np.full(pad, -1, np.int64)])

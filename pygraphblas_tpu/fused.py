@@ -23,7 +23,7 @@ from .core import xspmv as xs
 from .base import config
 from . import types
 
-__all__ = ["pagerank", "bfs_level", "sssp"]
+__all__ = ["pagerank", "bfs_level", "sssp", "bc"]
 
 
 def _xspmv_ok(A, semiring, dtype):
@@ -280,4 +280,80 @@ def sssp(A, start):
                       jnp.int32(start))
     out = Vector.sparse(A.type, n)
     out._set_dense(dist.astype(A.type._jnp_dtype()), jnp.isfinite(dist))
+    return out
+
+
+def bc(A, sources):
+    """Whole-loop-fused batched Brandes betweenness centrality
+    (reference workload: ``gap/bcmark.py:16-67``).
+
+    Dense-state formulation: instead of a host-side stack of level
+    pattern snapshots (the reference's ``S`` list), a per-vertex level
+    map is carried on device, so forward + backward sweeps compile into
+    one executable.  Each batched frontier step is `ns` gather-free
+    SpMVs (PLUS_SECOND over the transpose plan forward, the forward
+    plan backward).  Requires the xspmv engine; falls back to the eager
+    algorithm otherwise."""
+    from . import algorithms
+
+    n = A.nrows
+    ns = len(sources)
+    sem = types.FP32.PLUS_SECOND
+    if not _xspmv_ok(A, sem, np.float32) or A.nrows != A.ncols:
+        return algorithms.betweenness_centrality(A, sources)
+    plan_t = A._xspmv_plan(True, np.float32)   # y = A^T w  (forward)
+    plan_f = A._xspmv_plan(False, np.float32)  # y = A w    (backward)
+    key = ("fused_bc_x", ns)
+    if key not in A._ell_c:
+        def spmv_batch(plan, W):
+            rows = []
+            for s in range(ns):
+                y, _ = xs.xspmv(plan, W[s], sem, np.float32)
+                rows.append(y)
+            return jnp.stack(rows)
+
+        @jax.jit
+        def loop(src_idx):
+            paths = jnp.zeros((ns, n), jnp.float32)
+            paths = paths.at[jnp.arange(ns), src_idx].set(1.0)
+            frontier = paths
+            level = jnp.where(paths > 0, jnp.int32(0),
+                              jnp.int32(-1))  # -1 = unreached
+
+            def fcond(carry):
+                paths, frontier, level, d = carry
+                return jnp.logical_and(jnp.any(frontier > 0), d < n)
+
+            def fbody(carry):
+                paths, frontier, level, d = carry
+                nxt = spmv_batch(plan_t, frontier)
+                nxt = jnp.where(paths > 0, 0.0, jnp.maximum(nxt, 0.0))
+                paths = paths + nxt
+                level = jnp.where(nxt > 0, d + 1, level)
+                return paths, nxt, level, d + 1
+
+            paths, _, level, depth = jax.lax.while_loop(
+                fcond, fbody, (paths, frontier, level, jnp.int32(0)))
+
+            bcm = jnp.ones((ns, n), jnp.float32)
+            safe_paths = jnp.where(paths > 0, paths, 1.0)
+
+            def bbody(k, bcm):
+                i = depth - 1 - k
+                w = jnp.where(level == i, bcm / safe_paths, 0.0)
+                w2 = spmv_batch(plan_f, w)
+                w2 = jnp.where(level == i - 1, jnp.maximum(w2, 0.0), 0.0)
+                return bcm + w2 * paths
+
+            # pairs (level i -> i-1) for i = depth-1 .. 2: the reference
+            # sweep never accumulates into the level-0 sources
+            # (gap/bcmark.py:52-60)
+            bcm = jax.lax.fori_loop(0, jnp.maximum(depth - 2, 0), bbody,
+                                    bcm)
+            return jnp.sum(bcm, axis=0) - np.float32(ns)
+
+        A._ell_c[key] = loop
+    cent = A._ell_c[key](jnp.asarray(np.asarray(sources, np.int32)))
+    out = Vector.sparse(types.FP32, n)
+    out._set_dense(cent, jnp.ones((n,), jnp.bool_))
     return out

@@ -58,3 +58,36 @@ def test_fused_sssp():
     assert set(got) == set(expect)
     for node, dist in expect.items():
         assert got[node] == dist
+
+
+def test_fused_bc_matches_eager():
+    import pygraphblas_tpu.core.xspmv as X
+    import numpy as np
+    from pygraphblas_tpu import Matrix, types, fused, algorithms
+    from pygraphblas_tpu.base import options_set
+
+    rng = np.random.RandomState(23)
+    n, nnz = 250, 1800
+    r = rng.randint(0, n, nnz)
+    c = rng.randint(0, n, nnz)
+    keep = r != c
+    r, c = r[keep], c[keep]
+    _, ui = np.unique(r.astype(np.int64) * n + c, return_index=True)
+    r, c = r[ui], c[ui]
+    A = Matrix.from_lists(list(r), list(c), [1.0] * len(r), n, n,
+                          typ=types.FP32)
+    sources = [0, 5, 10, 15]
+    want = algorithms.betweenness_centrality(A, sources)
+    old = X.MIN_NNZ
+    X.MIN_NNZ = 1
+    try:
+        options_set(spmv_engine="xspmv")
+        got = fused.bc(A, sources)
+    finally:
+        X.MIN_NNZ = old
+        options_set(spmv_engine="auto")
+    wv, wm = want._dense_pair(np.float32)
+    gv, gm = got._dense_pair(np.float32)
+    wv = np.where(np.asarray(wm), np.asarray(wv), 0.0)
+    gv = np.where(np.asarray(gm), np.asarray(gv), 0.0)
+    assert np.allclose(wv, gv, rtol=1e-4, atol=1e-4), np.abs(wv - gv).max()

@@ -56,6 +56,7 @@ def test_fold_min_identity():
     plan = MonoPlan.build(idx, src_n)
     src = jnp.asarray(rng.rand(src_n).astype(np.float32))
     out = np.asarray(mono_gather(plan, src, np.inf, fold=jnp.minimum))
-    g = np.where(idx >= 0, np.asarray(src)[np.clip(idx, 0, None)],
+    idxp = np.concatenate([idx, np.full(plan.S * 128 - len(idx), -1)])
+    g = np.where(idxp >= 0, np.asarray(src)[np.clip(idxp, 0, None)],
                  np.inf).reshape(plan.S // 8, 8, 128)
     assert np.allclose(out, g.min(axis=1), rtol=1e-6)
