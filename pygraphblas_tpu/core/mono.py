@@ -51,10 +51,29 @@ def _next_pow2(x):
 
 class MonoPlan:
     """Static plan for one monotone gather: idx (N,) non-decreasing into
-    a source of logical length src_n.  idx[i] < 0 marks invalid -> fill."""
+    a source of logical length src_n.  idx[i] < 0 marks invalid -> fill.
+
+    Registered as a pytree (arrays = leaves) so plans flow through jit
+    as device-buffer ARGUMENTS — embedding multi-hundred-MB plans as
+    closure constants overflows the remote-compile transport."""
 
     __slots__ = ("S", "blk", "src_n", "src_rows", "q0", "dm", "max_w",
-                 "idx", "stream", "xb", "xblk", "ok")
+                 "stream", "xb", "xblk", "xblk_max", "ok")
+
+    def _aux(self):
+        return (self.S, self.blk, self.src_n, self.src_rows, self.max_w,
+                self.stream, self.xb, self.xblk_max, self.ok)
+
+    def _children(self):
+        return (self.q0, self.dm, self.xblk)
+
+    @staticmethod
+    def _unflatten(aux, children):
+        p = MonoPlan()
+        (p.S, p.blk, p.src_n, p.src_rows, p.max_w, p.stream, p.xb,
+         p.xblk_max, p.ok) = aux
+        p.q0, p.dm, p.xblk = children
+        return p
 
     @staticmethod
     def build(idx, src_n, itemsize=4):
@@ -79,9 +98,8 @@ class MonoPlan:
         plan.S = S
         plan.src_n = src_n
         plan.src_rows = -(-src_n // 128)
-        plan.dm = dm
+        plan.dm = jnp.asarray(dm)
         plan.max_w = int(dm.max() // 128 + 1) if n else 1
-        plan.idx = idxm
         plan.ok = True
 
         blk = 512
@@ -91,9 +109,10 @@ class MonoPlan:
 
         if (plan.src_rows + 2) * 128 * itemsize <= _RESIDENT_BYTES:
             plan.stream = False
-            plan.q0 = q0.astype(np.int32)
+            plan.q0 = jnp.asarray(q0.astype(np.int32))
             plan.xb = 0
-            plan.xblk = None
+            plan.xblk = jnp.zeros((S // blk,), jnp.int32)
+            plan.xblk_max = 0
             return plan
 
         # streaming: per output block, two consecutive source blocks of
@@ -115,10 +134,18 @@ class MonoPlan:
             plan.ok = False   # pathological span: caller falls back
             xb = _MAX_XB
         plan.xb = xb
-        plan.xblk = (lo // xb).astype(np.int32)
-        plan.q0 = (q0 - (plan.xblk.astype(np.int64)[:, None] * xb)
-                   .repeat(blk, 1).reshape(-1)).astype(np.int32)
+        xblk = (lo // xb).astype(np.int64)
+        plan.xblk = jnp.asarray(xblk.astype(np.int32))
+        plan.xblk_max = int(xblk.max()) if len(xblk) else 0
+        plan.q0 = jnp.asarray(
+            (q0 - np.repeat(xblk * xb, blk)).astype(np.int32))
         return plan
+
+
+jax.tree_util.register_pytree_node(
+    MonoPlan,
+    lambda p: (p._children(), p._aux()),
+    MonoPlan._unflatten)
 
 
 def mono_gather(plan, src, fill, vals=None, mul=None, fold=None):
@@ -132,14 +159,17 @@ def mono_gather(plan, src, fill, vals=None, mul=None, fold=None):
     S = plan.S
     dtype = src.dtype
     if not _on_tpu() or not plan.ok or dtype.itemsize > 4:
-        idx = jnp.asarray(plan.idx)
-        flat = src
-        g = jnp.take(flat, jnp.clip(idx.reshape(-1), 0, flat.shape[0] - 1))
+        q0 = plan.q0.astype(jnp.int64)
+        if plan.stream:
+            q0 = q0 + jnp.repeat(plan.xblk.astype(jnp.int64) * plan.xb,
+                                 plan.blk)
+        valid = plan.dm >= 0
+        idx = q0[:, None] * 128 + plan.dm
+        g = jnp.take(src, jnp.clip(idx.reshape(-1), 0, src.shape[0] - 1))
         g = g.reshape(S, 128)
-        g = jnp.where(jnp.asarray(plan.idx >= 0), g, jnp.asarray(fill, dtype))
+        g = jnp.where(valid, g, jnp.asarray(fill, dtype))
         if mul is not None:
-            g = jnp.where(jnp.asarray(plan.idx >= 0),
-                          mul(vals.reshape(S, 128), g),
+            g = jnp.where(valid, mul(vals.reshape(S, 128), g),
                           jnp.asarray(fill, dtype))
         if fold is not None:
             g = g.reshape(S // 8, 8, 128)
@@ -171,7 +201,7 @@ def _mono_pallas(plan, src, fill, vals, mul, fold):
     xb = plan.xb
 
     if stream:
-        nsrc_rows = (int(plan.xblk.max()) + 2) * xb
+        nsrc_rows = (plan.xblk_max + 2) * xb
     else:
         nsrc_rows = plan.src_rows + plan.max_w + 1
     src2 = _pad_rows(src, nsrc_rows)
@@ -243,8 +273,8 @@ def _mono_pallas(plan, src, fill, vals, mul, fold):
     out_spec = pl.BlockSpec((out_blk, 128), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((out_rows, 128), dtype)
-    q0_d = jnp.asarray(plan.q0)
-    dm_d = jnp.asarray(plan.dm)
+    q0_d = plan.q0
+    dm_d = plan.dm
 
     if stream:
         in_specs = [
@@ -269,8 +299,7 @@ def _mono_pallas(plan, src, fill, vals, mul, fold):
         )
         with jax.enable_x64(False):  # index maps must trace 32-bit
             return pl.pallas_call(kern, out_shape=out_shape,
-                                  grid_spec=grid_spec)(
-                jnp.asarray(plan.xblk), *args)
+                                  grid_spec=grid_spec)(plan.xblk, *args)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),

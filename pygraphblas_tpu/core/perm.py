@@ -308,13 +308,42 @@ def _choose_shape(n, fill):
 
 
 class PermPlan:
-    """Compiled routing for one static permutation: out[q] = in[src[q]]."""
+    """Compiled routing for one static permutation: out[q] = in[src[q]].
+
+    Registered as a pytree so plans pass through jit as device-buffer
+    arguments (stage arrays total hundreds of MB at GAP scale)."""
 
     __slots__ = ("n", "trivial", "src_idx", "D", "S", "R0", "K",
-                 "a_stages", "c_stages", "ssel", "pad_in", "pad_out")
+                 "a_stages", "c_stages", "ssel")
 
     def __init__(self):
         pass
+
+    def _aux(self):
+        return (self.n, self.trivial, self.D, self.S, self.R0, self.K,
+                self.ssel is None, self.src_idx is None,
+                len(self.a_stages) if not self.trivial else 0)
+
+    def _children(self):
+        if self.trivial:
+            return (self.src_idx,)
+        return tuple(self.a_stages) + tuple(self.c_stages) + \
+            ((self.ssel,) if self.ssel is not None else ())
+
+    @staticmethod
+    def _unflatten(aux, children):
+        p = PermPlan()
+        (p.n, p.trivial, p.D, p.S, p.R0, p.K, no_ssel, no_src, nst) = aux
+        if p.trivial:
+            (p.src_idx,) = children
+            p.a_stages = p.c_stages = []
+            p.ssel = None
+            return p
+        p.src_idx = None
+        p.a_stages = list(children[:nst])
+        p.c_stages = list(children[nst:2 * nst])
+        p.ssel = None if no_ssel else children[2 * nst]
+        return p
 
     @staticmethod
     def build(src, fill=112, seed=0):
@@ -326,6 +355,9 @@ class PermPlan:
         if n <= TRIVIAL_N:
             plan.trivial = True
             plan.src_idx = jnp.asarray(src.astype(np.int32))
+            plan.D = plan.S = plan.R0 = plan.K = 0
+            plan.a_stages = plan.c_stages = []
+            plan.ssel = None
             return plan
         plan.trivial = False
         plan.src_idx = None
@@ -386,6 +418,12 @@ class PermPlan:
         return _apply_staged(x, self.n, self.D, self.S, self.R0, self.K,
                              tuple(self.a_stages), tuple(self.c_stages),
                              self.ssel)
+
+
+jax.tree_util.register_pytree_node(
+    PermPlan,
+    lambda p: (p._children(), p._aux()),
+    PermPlan._unflatten)
 
 
 def _lane_gather(x2d, idx8):

@@ -44,7 +44,7 @@ MIN_NNZ = 1 << 15
 # content hash (analogous to the reference's .grb binfile caches,
 # gap/prmark.py:48)
 PLAN_CACHE_DIR = os.environ.get("PYGB_PLAN_CACHE", "/tmp/pygb_plans")
-_PLAN_VERSION = 2
+_PLAN_VERSION = 3
 
 _ADDS = {
     "PLUS": (lambda a, b: a + b, "add"),
@@ -79,11 +79,33 @@ def supported(semiring, dtype, nnz):
 
 
 class XSpmvPlan:
-    """Static plan for y[r] = fold_c mul(A[r,c], x[c]) on one matrix."""
+    """Static plan for y[r] = fold_c mul(A[r,c], x[c]) on one matrix.
+
+    A pytree: plan arrays travel through jit as device-buffer arguments
+    (constants of this size overflow the remote-compile transport)."""
 
     __slots__ = ("nrows", "ncols", "nnz", "dtype", "decode", "perm",
                  "n_perm", "m1", "vals_col", "levels", "places",
                  "masks", "row_present", "s1")
+
+    def _aux(self):
+        return (self.nrows, self.ncols, self.nnz, self.dtype, self.n_perm,
+                self.m1, self.s1, len(self.levels), len(self.places))
+
+    def _children(self):
+        return (self.decode, self.perm, self.vals_col, tuple(self.levels),
+                tuple(self.places), tuple(self.masks), self.row_present)
+
+    @staticmethod
+    def _unflatten(aux, children):
+        p = XSpmvPlan()
+        (p.nrows, p.ncols, p.nnz, p.dtype, p.n_perm, p.m1, p.s1,
+         _nl, _np) = aux
+        (p.decode, p.perm, p.vals_col, lv, pl, mk, p.row_present) = children
+        p.levels = list(lv)
+        p.places = list(pl)
+        p.masks = list(mk)
+        return p
 
     @staticmethod
     def build(rows, cols, vals, nrows, ncols, dtype, cache=True):
@@ -221,6 +243,12 @@ class XSpmvPlan:
         rp[rows] = True
         p.row_present = jnp.asarray(rp)
         return p
+
+
+jax.tree_util.register_pytree_node(
+    XSpmvPlan,
+    lambda p: (p._children(), p._aux()),
+    XSpmvPlan._unflatten)
 
 
 def xspmv(plan, x, semiring, out_dtype):

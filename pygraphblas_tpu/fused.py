@@ -105,7 +105,7 @@ def pagerank(A, damping=0.85, itermax=100, tol=1e-4):
         key = "fused_pr_x"
         if key not in A._ell_c:
             @partial(jax.jit, static_argnames=("itermax",))
-            def loop(d_inv_damped, teleport, tol, itermax):
+            def loop(plan, d_inv_damped, teleport, tol, itermax):
                 r0 = jnp.full((n,), 1.0 / n, jnp.float32)
 
                 def cond(carry):
@@ -126,7 +126,7 @@ def pagerank(A, damping=0.85, itermax=100, tol=1e-4):
         deg = _deg_vec(A)
         d_inv = jnp.where(deg > 0, damping / jnp.maximum(deg, 1.0), 0.0)
         r, rdiff, iters = A._ell_c[key](
-            d_inv.astype(jnp.float32), jnp.float32((1 - damping) / n),
+            plan, d_inv.astype(jnp.float32), jnp.float32((1 - damping) / n),
             jnp.float32(tol), itermax)
     else:
         plan, args = _plan_args(A, True)  # transposed orientation
@@ -188,7 +188,7 @@ def bfs_level(A, start):
         key = "fused_bfs_x"
         if key not in A._ell_c:
             @jax.jit
-            def loop(start):
+            def loop(plan, start):
                 lv = jnp.zeros((n,), jnp.int32)
                 frontier = jnp.zeros((n,), jnp.float32).at[start].set(1.0)
 
@@ -208,7 +208,7 @@ def bfs_level(A, start):
                 return lv
 
             A._ell_c[key] = loop
-        lv = A._ell_c[key](jnp.int32(start))
+        lv = A._ell_c[key](plan, jnp.int32(start))
     else:
         plan, args = _plan_args(A, True)
         lv = _bfs_loop(args[0], plan.pad_mask, args[2], args[3],
@@ -252,7 +252,7 @@ def sssp(A, start):
         key = "fused_sssp_x"
         if key not in A._ell_c:
             @jax.jit
-            def loop(start):
+            def loop(plan, start):
                 inf = jnp.asarray(np.inf, npdt)
                 dist = jnp.full((n,), inf).at[start].set(0.0)
 
@@ -271,7 +271,7 @@ def sssp(A, start):
                 return d
 
             A._ell_c[key] = loop
-        dist = A._ell_c[key](jnp.int32(start))
+        dist = A._ell_c[key](plan, jnp.int32(start))
         out = Vector.sparse(A.type, n)
         out._set_dense(dist.astype(A.type._jnp_dtype()), jnp.isfinite(dist))
         return out
@@ -313,7 +313,7 @@ def bc(A, sources):
             return jnp.stack(rows)
 
         @jax.jit
-        def loop(src_idx):
+        def loop(plan_t, plan_f, src_idx):
             paths = jnp.zeros((ns, n), jnp.float32)
             paths = paths.at[jnp.arange(ns), src_idx].set(1.0)
             frontier = paths
@@ -353,7 +353,8 @@ def bc(A, sources):
             return jnp.sum(bcm, axis=0) - np.float32(ns)
 
         A._ell_c[key] = loop
-    cent = A._ell_c[key](jnp.asarray(np.asarray(sources, np.int32)))
+    cent = A._ell_c[key](plan_t, plan_f,
+                         jnp.asarray(np.asarray(sources, np.int32)))
     out = Vector.sparse(types.FP32, n)
     out._set_dense(cent, jnp.ones((n,), jnp.bool_))
     return out
