@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 # resident-source limit: keep the whole source in VMEM below this
-_RESIDENT_BYTES = 4 << 20
+_RESIDENT_BYTES = 11 << 20
 _MAX_XB = 8192           # streaming window block rows (8192*128*4B = 4MB)
 
 
@@ -206,13 +206,16 @@ def _mono_pallas(plan, src, fill, vals, mul, fold):
         nsrc_rows = plan.src_rows + plan.max_w + 1
     src2 = _pad_rows(src, nsrc_rows)
 
+    # unroll the window loop when the worst row needs few windows
+    # (dynamic-bound fori per 8-row group costs more than the windows)
+    unroll = plan.max_w <= 16
+
     def body_group(q0_ref, dmg, x0, x1, s0):
         # all in-kernel index arithmetic pinned to int32: the package
         # enables jax x64, and Mosaic cannot lower 64-bit vectors
-        maxw = (1 + jnp.max(dmg) // 128).astype(jnp.int32)
 
         def body(w, acc):
-            w = w.astype(jnp.int32)
+            w = w.astype(jnp.int32) if hasattr(w, "astype") else w
             rows = []
             for r in range(8):
                 q = q0_ref[s0 + r] + w
@@ -228,8 +231,13 @@ def _mono_pallas(plan, src, fill, vals, mul, fold):
             gth = jnp.take_along_axis(win, jnp.bitwise_and(lm, 127), axis=1)
             return jnp.where(okm, gth, acc)
 
-        return jax.lax.fori_loop(0, maxw, body,
-                                 jnp.full((8, 128), fill, dtype))
+        acc = jnp.full((8, 128), fill, dtype)
+        if unroll:
+            for w in range(plan.max_w):
+                acc = body(w, acc)
+            return acc
+        maxw = (1 + jnp.max(dmg) // 128).astype(jnp.int32)
+        return jax.lax.fori_loop(0, maxw, body, acc)
 
     def kern(*refs):
         if stream:
@@ -243,14 +251,14 @@ def _mono_pallas(plan, src, fill, vals, mul, fold):
             v_ref = rest[0]
             rest = rest[1:]
         out_ref = rest[0]
-        # q0 is the WHOLE (un-blocked) SMEM array: index it globally
-        blk_base = pl.program_id(0).astype(jnp.int32) * blk
+        # q0 is the whole (un-blocked) SMEM array: index it globally
+        q0_base = pl.program_id(0).astype(jnp.int32) * blk
 
         def do_group(g, _):
             g = g.astype(jnp.int32)
             s0 = g * 8
             dmg = dm_ref[pl.ds(s0, 8), :]
-            acc = body_group(q0_ref, dmg, x0_ref, x1_ref, blk_base + s0)
+            acc = body_group(q0_ref, dmg, x0_ref, x1_ref, q0_base + s0)
             if mul is not None:
                 acc = jnp.where(dmg >= 0, mul(v_ref[pl.ds(s0, 8), :], acc),
                                 jnp.asarray(fill, dtype))
