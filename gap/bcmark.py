@@ -19,9 +19,11 @@ def main():
     p.add_argument("--edgefactor", type=int, default=16)
     p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--eager", action="store_true",
+                   help="use the eager per-op path instead of the fused loop")
     args = p.parse_args()
 
-    from pygraphblas_tpu import types
+    from pygraphblas_tpu import types, fused
     from pygraphblas_tpu.generators import rmat_edges, to_matrix
     from pygraphblas_tpu.algorithms import betweenness_centrality
 
@@ -34,7 +36,10 @@ def main():
     for r in range(args.rounds):
         sources = [random.randint(0, n - 1) for _ in range(args.batch)]
         start = time.perf_counter()
-        bc = betweenness_centrality(A, sources, AT)
+        if args.eager:
+            bc = betweenness_centrality(A, sources, AT)
+        else:
+            bc = fused.bc(A, sources)
         bc.wait()
         elapsed = time.perf_counter() - start
         times.append(elapsed)

@@ -23,9 +23,11 @@ def main():
     p.add_argument("--graph", default="kron", choices=["kron", "urand"])
     p.add_argument("--binfile", default=None,
                    help="load a .npz binary checkpoint instead of generating")
+    p.add_argument("--eager", action="store_true",
+                   help="use the eager per-op path instead of the fused loop")
     args = p.parse_args()
 
-    from pygraphblas_tpu import types
+    from pygraphblas_tpu import types, fused
     from pygraphblas_tpu.matrix import Matrix
     from pygraphblas_tpu.generators import rmat_edges, urand_edges, to_matrix
     from pygraphblas_tpu.algorithms import pagerank
@@ -44,7 +46,11 @@ def main():
     times = []
     for r in range(args.rounds):
         start = time.perf_counter()
-        result = pagerank(A, damping=0.85, itermax=100, tol=1e-4, d=d.dup())
+        if args.eager:
+            result = pagerank(A, damping=0.85, itermax=100, tol=1e-4,
+                              d=d.dup())
+        else:  # whole-loop-fused production path
+            result = fused.pagerank(A, damping=0.85, itermax=100, tol=1e-4)
         result.wait()
         elapsed = time.perf_counter() - start
         times.append(elapsed)
