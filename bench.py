@@ -37,6 +37,8 @@ def main():
         np.savez(cache, rows=rows, cols=cols, n=n)
     nnz = len(rows)
     A = to_matrix(rows, cols, n, types.FP32)
+    print(f"# graph ready: n={n} nnz={nnz}; building/loading SpMV plan "
+          "(minutes when /tmp/pygb_plans is cold)...", file=sys.stderr)
 
     # whole-loop-fused PageRank: the iteration loop is a single XLA
     # executable over the cached csr8 plan (fused.py); tol=0 forces
