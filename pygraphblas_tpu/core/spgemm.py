@@ -43,7 +43,38 @@ def _row_lookup(nrows, u, s, d):
     return starts, degs
 
 
-@partial(jax.jit, static_argnames=("semiring", "out_dtype", "width"))
+@partial(jax.jit, static_argnames=("semiring", "out_dtype", "width",
+                                   "narrow"))
+def _bucket_build_intersect(a_cols, a_vals, b_cols, b_vals, a_st, wa,
+                            b_st, wb, mi, mj, semiring, out_dtype, width,
+                            narrow):
+    """Build the side-tagged sorted-concat input for one width bucket ON
+    DEVICE (the reference-free host fill was the dominant cost) and run
+    the intersect.  Per mask edge e: lanes [0, wa) hold A-row entries,
+    [wa, wa+wb) B-row entries, the rest distinct pad sentinels."""
+    lane = jnp.arange(width, dtype=jnp.int32)[None, :]
+    in_a = lane < wa[:, None]
+    in_b = jnp.logical_and(lane >= wa[:, None],
+                           lane < (wa + wb)[:, None])
+    src_a = jnp.clip(a_st[:, None] + lane, 0, a_cols.shape[0] - 1)
+    src_b = jnp.clip(b_st[:, None] + lane - wa[:, None], 0,
+                     b_cols.shape[0] - 1)
+    # int32 keys when column ids fit in 30 bits (halves the sort cost)
+    kt = jnp.int32 if narrow else jnp.int64
+    sent = (jnp.int32(1) << 30 if narrow else jnp.int64(1) << 62)
+    ka = jnp.take(a_cols, src_a).astype(kt)
+    kb = jnp.take(b_cols, src_b).astype(kt)
+    keys = jnp.where(in_a, ka * 2,
+                     jnp.where(in_b, kb * 2 + 1,
+                               sent + 2 * lane.astype(kt)))
+    va = jnp.where(in_a, jnp.take(a_vals, src_a),
+                   jnp.zeros((), a_vals.dtype))
+    vb = jnp.where(in_b, jnp.take(b_vals, src_b),
+                   jnp.zeros((), b_vals.dtype))
+    return _bucket_intersect(keys, va, vb, mi, mj, semiring, out_dtype,
+                             width)
+
+
 def _bucket_intersect(keys, vals_a, vals_b, mi, mj, semiring, out_dtype,
                       width):
     """One bucket: keys (E, W) = side-tagged sorted-concat input.
@@ -151,42 +182,33 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
                 out_vals[e] = acc
                 out_cnt[e] = len(common)
 
-    # bucket the rest by pow2 width
+    # bucket the rest by pow2 width; the (E, W) concat build runs on
+    # device (host transfers are E-sized scalars + the COO arrays once)
     light = ~heavy
     widths = np.maximum(8, 2 ** np.ceil(
         np.log2(np.maximum(total, 1))).astype(np.int64))
-    BIG = np.int64(2) ** 62
+
+    maxcol = max(int(a_cols.max()) if len(a_cols) else 0,
+                 int(bt_cols.max()) if len(bt_cols) else 0)
+    narrow = maxcol < (1 << 29)
+    a_cols_d = jnp.asarray(a_cols if len(a_cols) else np.zeros(1, np.int64))
+    a_vals_d = jnp.asarray(a_vals if len(a_vals) else
+                           np.zeros(1, out_dtype))
+    b_cols_d = jnp.asarray(bt_cols if len(bt_cols) else
+                           np.zeros(1, np.int64))
+    b_vals_d = jnp.asarray(bt_vals if len(bt_vals) else
+                           np.zeros(1, out_dtype))
 
     for w in sorted(set(widths[light].tolist())):
         sel = np.nonzero(light & (widths == w))[0]
-        E = len(sel)
-        # distinct sentinels so padding never self-matches
-        keys = np.broadcast_to(BIG + 2 * np.arange(w, dtype=np.int64),
-                               (E, w)).copy()
-        va = np.zeros((E, w), a_vals.dtype)
-        vb = np.zeros((E, w), bt_vals.dtype)
-        # vectorized fill of both lists
-        wa_s = wa[sel]
-        wb_s = wb[sel]
-        lane = np.arange(w)[None, :]
-        in_a = lane < wa_s[:, None]
-        in_b = (lane >= wa_s[:, None]) & (lane < (wa_s + wb_s)[:, None])
-        src_a = a_starts[m_rows[sel]][:, None] + lane
-        src_a = np.minimum(src_a, len(a_cols) - 1 if len(a_cols) else 0)
-        src_b = (b_starts[m_cols[sel]][:, None] + lane
-                 - wa_s[:, None])
-        src_b = np.clip(src_b, 0, len(bt_cols) - 1 if len(bt_cols) else 0)
-        if len(a_cols):
-            keys = np.where(in_a, a_cols[src_a] * 2, keys)
-            va = np.where(in_a, a_vals[src_a], va)
-        if len(bt_cols):
-            keys = np.where(in_b, bt_cols[src_b] * 2 + 1, keys)
-            vb = np.where(in_b, bt_vals[src_b], vb)
-        c, cnt = _bucket_intersect(jnp.asarray(keys), jnp.asarray(va),
-                                   jnp.asarray(vb),
-                                   jnp.asarray(m_rows[sel]),
-                                   jnp.asarray(m_cols[sel]),
-                                   semiring, out_dtype, int(w))
+        c, cnt = _bucket_build_intersect(
+            a_cols_d, a_vals_d, b_cols_d, b_vals_d,
+            jnp.asarray(a_starts[m_rows[sel]].astype(np.int32)),
+            jnp.asarray(wa[sel].astype(np.int32)),
+            jnp.asarray(b_starts[m_cols[sel]].astype(np.int32)),
+            jnp.asarray(wb[sel].astype(np.int32)),
+            jnp.asarray(m_rows[sel]), jnp.asarray(m_cols[sel]),
+            semiring, out_dtype, int(w), bool(narrow))
         out_vals[sel] = np.asarray(c)
         out_cnt[sel] = np.asarray(cnt)
 
