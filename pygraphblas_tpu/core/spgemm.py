@@ -43,6 +43,98 @@ def _row_lookup(nrows, u, s, d):
     return starts, degs
 
 
+def _pallas_fill_keys(a_cols2, b_cols2, a_st, wa, b_st, wb, width):
+    """Side-tagged sorted-concat KEY build as a Pallas kernel.
+
+    The XLA build costs ~8 cyc per padded element (arbitrary gather
+    lowering); but each row's A/B segments are CONTIGUOUS slices of the
+    column arrays, so dynamic sublane window loads + lane shifts fill a
+    (8,128) tile in a handful of vector ops.  int32 keys; covers the
+    payload-free (PAIR) path = triangle counting / k-truss."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    e_pad = a_st.shape[0]
+    nw = width // 128
+    sent = np.int32(1 << 30)
+
+    def kern(ast_ref, wa_ref, bst_ref, wb_ref, a_ref, b_ref, o_ref):
+        base_e = pl.program_id(0).astype(jnp.int32) * 8
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+
+        def window(w, _):
+            w = w.astype(jnp.int32)
+            p0 = w * 128
+            wa0_rows, wa1_rows, wb0_rows, wb1_rows = [], [], [], []
+            sha_rows, shb_rows, war_rows, wbr_rows = [], [], [], []
+            for r in range(8):
+                e = base_e + r
+                ast, war = ast_ref[e], wa_ref[e]
+                bst, wbr = bst_ref[e], wb_ref[e]
+                ba = ast + p0
+                qa = jax.lax.max(ba >> 7, 0)
+                wa0_rows.append(a_ref[pl.ds(qa, 1), :])
+                wa1_rows.append(a_ref[pl.ds(qa + 1, 1), :])
+                sha_rows.append(ba - qa * 128)
+                bb = bst + p0 - war
+                qb = jax.lax.max(bb >> 7, 0)
+                wb0_rows.append(b_ref[pl.ds(qb, 1), :])
+                wb1_rows.append(b_ref[pl.ds(qb + 1, 1), :])
+                shb_rows.append(bb - qb * 128)
+                war_rows.append(war)
+                wbr_rows.append(wbr)
+            wa0 = jnp.concatenate(wa0_rows, axis=0)
+            wa1 = jnp.concatenate(wa1_rows, axis=0)
+            wb0 = jnp.concatenate(wb0_rows, axis=0)
+            wb1 = jnp.concatenate(wb1_rows, axis=0)
+            sha = jnp.stack(sha_rows).reshape(8, 1)
+            shb = jnp.stack(shb_rows).reshape(8, 1)
+            war = jnp.stack(war_rows).reshape(8, 1)
+            wbr = jnp.stack(wbr_rows).reshape(8, 1)
+            p = p0 + lane
+            la = sha + lane
+            ka = jnp.where(la < 128,
+                           jnp.take_along_axis(wa0, la & 127, axis=1),
+                           jnp.take_along_axis(wa1, la & 127, axis=1))
+            lb = jax.lax.max(shb + lane, 0)
+            kb = jnp.where(lb < 128,
+                           jnp.take_along_axis(wb0, lb & 127, axis=1),
+                           jnp.take_along_axis(wb1, lb & 127, axis=1))
+            in_a = p < war
+            in_b = jnp.logical_and(p >= war, p < war + wbr)
+            o_ref[:, pl.ds(p0, 128)] = jnp.where(
+                in_a, ka * 2, jnp.where(in_b, kb * 2 + 1, sent + 2 * p))
+            return 0
+
+        with jax.enable_x64(False):
+            jax.lax.fori_loop(0, nw, window, 0)
+
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((e_pad, width), jnp.int32),
+            grid=(e_pad // 8,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4 +
+                     [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec((8, width), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        )(a_st, wa, b_st, wb, a_cols2, b_cols2)
+
+
+@partial(jax.jit, static_argnames=("out_dtype", "width"))
+def _bucket_fill_sort_count(a_cols2, b_cols2, a_st, wa, b_st, wb,
+                            out_dtype, width):
+    """Payload-free intersect, one dispatch: Pallas key fill + sort +
+    adjacent-match count (PAIR mul)."""
+    out_dtype = np.dtype(out_dtype)
+    keys = _pallas_fill_keys(a_cols2, b_cols2, a_st, wa, b_st, wb, width)
+    ks = jax.lax.sort(keys, dimension=1)
+    match = (ks[:, :-1] >> 1) == (ks[:, 1:] >> 1)
+    c = jnp.sum(match.astype(out_dtype), axis=1)
+    cnt = jnp.sum(match.astype(jnp.int32), axis=1)
+    return c, cnt
+
+
 @partial(jax.jit, static_argnames=("semiring", "out_dtype", "width",
                                    "narrow"))
 def _bucket_build_intersect(a_cols, a_vals, b_cols, b_vals, a_st, wa,
@@ -89,12 +181,22 @@ def _bucket_intersect(keys, vals_a, vals_b, mi, mj, semiring, out_dtype,
     mul = semiring.mul_op
     ident = jnp.asarray(semiring.add_monoid.identity(out_dtype))
 
-    ks, va, vb = jax.lax.sort((keys, vals_a, vals_b), dimension=1,
-                              num_keys=1)
+    # PAIR-family muls never read the value payloads: sorting the keys
+    # alone cuts the (dominant) sort traffic 3x — this is the triangle
+    # counting / k-truss path
+    payload_free = (not mul.positional) and mul.builtin and mul.op == "PAIR"
+    if payload_free:
+        ks = jax.lax.sort(keys, dimension=1)
+        va = vb = None
+    else:
+        ks, va, vb = jax.lax.sort((keys, vals_a, vals_b), dimension=1,
+                                  num_keys=1)
     k_lo = ks[:, :-1]
     k_hi = ks[:, 1:]
     match = (k_lo >> 1) == (k_hi >> 1)
-    if mul.positional:
+    if payload_free:
+        prod = jnp.ones(match.shape, out_dtype)
+    elif mul.positional:
         kk = (k_lo >> 1).astype(jnp.int64)
         pos = dict(i0=mi[:, None], j0=kk, i1=kk, j1=mj[:, None])
         prod = mul.apply(None, None, pos).astype(out_dtype)
@@ -199,8 +301,44 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
     b_vals_d = jnp.asarray(bt_vals if len(bt_vals) else
                            np.zeros(1, out_dtype))
 
+    mul0 = semiring.mul_op
+    pair_fast = (narrow and not mul0.positional and mul0.builtin
+                 and mul0.op == "PAIR"
+                 and (len(a_cols) + 256) * 4 <= (5 << 20)
+                 and (len(bt_cols) + 256) * 4 <= (5 << 20)
+                 and jax.default_backend() == "tpu")
+    if pair_fast:
+        def _as2d(cols):
+            ar = np.zeros((-(-(len(cols) + 128) // 128)) * 128, np.int32)
+            ar[:len(cols)] = cols.astype(np.int32)
+            return jnp.asarray(ar.reshape(-1, 128))
+        a_cols2 = _as2d(a_cols if len(a_cols) else np.zeros(1, np.int64))
+        b_cols2 = _as2d(bt_cols if len(bt_cols) else np.zeros(1, np.int64))
+
     for w in sorted(set(widths[light].tolist())):
         sel = np.nonzero(light & (widths == w))[0]
+        if pair_fast and w >= 128:  # kernel fills whole 128-lane windows
+            # chunk: the per-edge scalar arrays live whole in SMEM
+            step = min(32768, max(8, (1 << 21) // int(w)) * 8)
+            for lo in range(0, len(sel), step):
+                ss = sel[lo:lo + step]
+                e_pad = -(-len(ss) // 8) * 8
+
+                def _padded(arr):
+                    out = np.zeros(e_pad, np.int32)
+                    out[:len(ss)] = arr
+                    return jnp.asarray(out)
+
+                c, cnt = _bucket_fill_sort_count(
+                    a_cols2, b_cols2,
+                    _padded(a_starts[m_rows[ss]].astype(np.int32)),
+                    _padded(wa[ss].astype(np.int32)),
+                    _padded(b_starts[m_cols[ss]].astype(np.int32)),
+                    _padded(wb[ss].astype(np.int32)),
+                    np.dtype(out_dtype).str, int(w))
+                out_vals[ss] = np.asarray(c)[:len(ss)]
+                out_cnt[ss] = np.asarray(cnt)[:len(ss)]
+            continue
         c, cnt = _bucket_build_intersect(
             a_cols_d, a_vals_d, b_cols_d, b_vals_d,
             jnp.asarray(a_starts[m_rows[sel]].astype(np.int32)),
