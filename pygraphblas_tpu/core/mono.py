@@ -89,7 +89,12 @@ class MonoPlan:
         idxm = idx.reshape(S, 128)
         valid = idxm >= 0
         firsts = np.where(valid, idxm, np.int64(1 << 60)).min(axis=1)
-        firsts = np.where(valid.any(axis=1), firsts, 0)
+        # rows with no valid index must not widen the streaming span:
+        # carry the previous row's first forward (idx is non-decreasing,
+        # so max-accumulate == last valid first) instead of dropping to 0
+        firsts = np.where(valid.any(axis=1), firsts, np.int64(-1))
+        firsts = np.maximum.accumulate(firsts)
+        firsts = np.where(firsts < 0, 0, firsts)
         q0 = (firsts >> 7).astype(np.int64)
         dm = np.where(valid, idxm - (q0[:, None] << 7),
                       np.int64(-1)).astype(np.int32)
@@ -131,7 +136,11 @@ class MonoPlan:
                 break
             xb *= 2
         if xb > _MAX_XB:
+            from ..base import burble
+
             plan.ok = False   # pathological span: caller falls back
+            burble("MonoPlan: streaming span %d > %d rows; falling back "
+                   "to the XLA gather path", xb, _MAX_XB)
             xb = _MAX_XB
         plan.xb = xb
         xblk = (lo // xb).astype(np.int64)

@@ -1,10 +1,12 @@
 """Segmented inclusive fold-scan on TPU.
 
 Computes, for a flat value stream partitioned into segments by start
-flags, the running monoid fold within each segment.  Row reductions in
-the sparse pipeline (core/xspmv.py) become one scan over the per-row
-group-partial runs plus one monotone run-end placement, replacing a
-log8 cascade of gather/fold levels.
+flags, the running monoid fold within each segment.  Standalone
+primitive for cumulative ops and select/compaction; it was benchmarked
+as the xspmv row reduce and LOST to the log8 fold cascade (1.256G vs
+1.356G nnz/s — the serial carry chain stalls where the cascade's folds
+are dependency-free, see PERF.md), so xspmv keeps the cascade and this
+module stays a utility, not an integration.
 
 XLA's ``lax.associative_scan`` lowers to odd/even strided slices that
 cost more than the data movement on this hardware (measured 9.7 ms for

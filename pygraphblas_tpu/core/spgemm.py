@@ -58,6 +58,9 @@ def _pallas_fill_keys(a_cols2, b_cols2, a_st, wa, b_st, wb, width):
     nw = width // 128
     sent = np.int32(1 << 30)
 
+    rows_a = a_cols2.shape[0]
+    rows_b = b_cols2.shape[0]
+
     def kern(ast_ref, wa_ref, bst_ref, wb_ref, a_ref, b_ref, o_ref):
         base_e = pl.program_id(0).astype(jnp.int32) * 8
         lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -72,12 +75,15 @@ def _pallas_fill_keys(a_cols2, b_cols2, a_st, wa, b_st, wb, width):
                 ast, war = ast_ref[e], wa_ref[e]
                 bst, wbr = bst_ref[e], wb_ref[e]
                 ba = ast + p0
-                qa = jax.lax.max(ba >> 7, 0)
+                # clamp the window base so qa+1 stays in bounds by
+                # construction (wide buckets advance p0 past the row
+                # segment; those lanes are masked out below)
+                qa = jax.lax.clamp(0, ba >> 7, rows_a - 2)
                 wa0_rows.append(a_ref[pl.ds(qa, 1), :])
                 wa1_rows.append(a_ref[pl.ds(qa + 1, 1), :])
                 sha_rows.append(ba - qa * 128)
                 bb = bst + p0 - war
-                qb = jax.lax.max(bb >> 7, 0)
+                qb = jax.lax.clamp(0, bb >> 7, rows_b - 2)
                 wb0_rows.append(b_ref[pl.ds(qb, 1), :])
                 wb1_rows.append(b_ref[pl.ds(qb + 1, 1), :])
                 shb_rows.append(bb - qb * 128)
@@ -302,8 +308,17 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
                            np.zeros(1, out_dtype))
 
     mul0 = semiring.mul_op
+    add0 = semiring.add_monoid.binaryop
+    # the fused fill+sort+count kernel computes the PLUS reduction (the
+    # match count); for idempotent monoids over all-ones products the
+    # value is simply 1 wherever any match exists.  BXOR/BXNOR (count
+    # parity) and user monoids go through the generic intersect path.
+    add_is_plus = add0.builtin and add0.op == "PLUS"
+    add_is_one = add0.builtin and add0.op in (
+        "MIN", "MAX", "TIMES", "ANY", "LOR", "LAND", "BOR", "BAND")
     pair_fast = (narrow and not mul0.positional and mul0.builtin
                  and mul0.op == "PAIR"
+                 and (add_is_plus or add_is_one)
                  and (len(a_cols) + 256) * 4 <= (5 << 20)
                  and (len(bt_cols) + 256) * 4 <= (5 << 20)
                  and jax.default_backend() == "tpu")
@@ -336,8 +351,12 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
                     _padded(b_starts[m_cols[ss]].astype(np.int32)),
                     _padded(wb[ss].astype(np.int32)),
                     np.dtype(out_dtype).str, int(w))
-                out_vals[ss] = np.asarray(c)[:len(ss)]
-                out_cnt[ss] = np.asarray(cnt)[:len(ss)]
+                cnt_h = np.asarray(cnt)[:len(ss)]
+                if add_is_plus:
+                    out_vals[ss] = np.asarray(c)[:len(ss)]
+                else:  # idempotent monoid over all-1 products
+                    out_vals[ss] = (cnt_h > 0).astype(out_dtype)
+                out_cnt[ss] = cnt_h
             continue
         c, cnt = _bucket_build_intersect(
             a_cols_d, a_vals_d, b_cols_d, b_vals_d,

@@ -64,6 +64,18 @@ def _is_scalar(x):
     return isinstance(x, (bool, int, float, complex, np.generic))
 
 
+def _reduce_accum(accum, value, np_dtype):
+    """Scalar-reduction accumulator semantics (reference
+    matrix.py:1759-1858): GrB_reduce with an accum combines the reduction
+    into the zero-initialized result scalar: r = accum(0, reduce(A))."""
+    if accum is None:
+        return value
+    accum = accum.get_op() if hasattr(accum, "get_op") else accum
+    z = np.zeros((), np_dtype)
+    r = np.asarray(value).astype(np_dtype)
+    return np.asarray(accum.apply(jnp.asarray(z), jnp.asarray(r)))
+
+
 class Matrix:
     """GraphBLAS Matrix.
 
@@ -1502,9 +1514,11 @@ class Matrix:
         """
         if mon is None:
             mon = current_monoid.get(None) or types.BOOL.LOR_MONOID
+        _, accum, desc = self._get_args(None, accum, desc)
         v, m = self._reduce_pair()
-        return bool(dk.reduce_all(v.astype(jnp.bool_) if v.dtype != jnp.bool_
-                                  else v, m, mon))
+        r = dk.reduce_all(v.astype(jnp.bool_) if v.dtype != jnp.bool_
+                          else v, m, mon)
+        return bool(_reduce_accum(accum, r, np.bool_))
 
     def reduce_int(self, mon=None, mask=None, accum=None, desc=None):
         """Reduce to an int with the given monoid (default PLUS).
@@ -1515,8 +1529,10 @@ class Matrix:
         """
         if mon is None:
             mon = current_monoid.get(None) or types.INT64.PLUS_MONOID
+        _, accum, desc = self._get_args(None, accum, desc)
         v, m = self._reduce_pair()
-        return int(dk.reduce_all(v.astype(jnp.int64), m, mon))
+        r = dk.reduce_all(v.astype(jnp.int64), m, mon)
+        return int(_reduce_accum(accum, r, np.int64))
 
     def reduce_float(self, mon=None, mask=None, accum=None, desc=None):
         """Reduce to a float with the given monoid (default PLUS).
@@ -1527,8 +1543,10 @@ class Matrix:
         """
         if mon is None:
             mon = current_monoid.get(None) or self.type.PLUS_MONOID
+        _, accum, desc = self._get_args(None, accum, desc)
         v, m = self._reduce_pair()
-        return float(dk.reduce_all(v.astype(jnp.float64), m, mon))
+        r = dk.reduce_all(v.astype(jnp.float64), m, mon)
+        return float(_reduce_accum(accum, r, np.float64))
 
     def reduce(self, mon=None, accum=None, desc=None):
         """Type-generic reduce to a scalar of this matrix's type.
@@ -1542,9 +1560,12 @@ class Matrix:
             if mon is None:
                 mon = getattr(self.type,
                               self.type._default_addop().op + "_MONOID")
+        _, accum, desc = self._get_args(None, accum, desc)
         v, m = self._reduce_pair()
+        r = np.asarray(dk.reduce_all(v, m, mon)).astype(self.type._numpy_t)
         return self.type._to_value(
-            np.asarray(dk.reduce_all(v, m, mon)).astype(self.type._numpy_t))
+            np.asarray(_reduce_accum(accum, r, self.type._numpy_t))
+            .astype(self.type._numpy_t))
 
     def reduce_vector(self, mon=None, out=None, cast=None, mask=None,
                       accum=None, desc=None):

@@ -368,8 +368,16 @@ _defun("FLOOR", jnp.floor, FP_TYPES)
 _defun("ROUND", jnp.round, FP_TYPES)
 _defun("TRUNC", jnp.trunc, FP_TYPES)
 _defun("LGAMMA", jax.lax.lgamma, FP_TYPES)
-_defun("TGAMMA", lambda x: jnp.exp(jax.lax.lgamma(jnp.abs(x))) * jnp.sign(x) ** 0,
-       FP_TYPES)  # gamma via lgamma for positive domain
+def _tgamma(x):
+    # lax.lgamma computes log|Gamma(x)| over the whole real line; restore
+    # the sign via the reflection pattern: Gamma alternates sign on each
+    # negative unit interval, negative exactly when floor(x) is odd.
+    neg = jnp.mod(jnp.floor(x), 2.0) == 1.0
+    sign = jnp.where(jnp.logical_and(x < 0, neg), -1.0, 1.0).astype(x.dtype)
+    return sign * jnp.exp(jax.lax.lgamma(x))
+
+
+_defun("TGAMMA", _tgamma, FP_TYPES)
 _defun("ERF", jax.lax.erf, FP_TYPES)
 _defun("ERFC", jax.lax.erfc, FP_TYPES)
 _defun("FREXPX", _frexpx, FP_TYPES)

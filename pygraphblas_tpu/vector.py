@@ -856,9 +856,13 @@ class Vector:
             if mon is None:
                 mon = getattr(self.type,
                               self.type._default_addop().op + "_MONOID")
+        _, accum, desc = self._get_args(None, accum, desc)
         v, m = self._dense_pair()
+        from .matrix import _reduce_accum
+        r = np.asarray(dk.reduce_all(v, m, mon)).astype(self.type._numpy_t)
         return self.type._to_value(
-            np.asarray(dk.reduce_all(v, m, mon)).astype(self.type._numpy_t))
+            np.asarray(_reduce_accum(accum, r, self.type._numpy_t))
+            .astype(self.type._numpy_t))
 
     def reduce_bool(self, mon=None, mask=None, accum=None, desc=None):
         """Reduce to a bool (default LOR monoid).
@@ -868,9 +872,12 @@ class Vector:
         """
         if mon is None:
             mon = current_monoid.get(None) or types.BOOL.LOR_MONOID
+        _, accum, desc = self._get_args(None, accum, desc)
+        from .matrix import _reduce_accum
         v, m = self._dense_pair()
-        return bool(dk.reduce_all(
-            v if v.dtype == jnp.bool_ else v.astype(jnp.bool_), m, mon))
+        r = dk.reduce_all(
+            v if v.dtype == jnp.bool_ else v.astype(jnp.bool_), m, mon)
+        return bool(_reduce_accum(accum, r, np.bool_))
 
     def reduce_int(self, mon=None, mask=None, accum=None, desc=None):
         """Reduce to an int (default PLUS monoid).
@@ -880,8 +887,11 @@ class Vector:
         """
         if mon is None:
             mon = current_monoid.get(None) or types.INT64.PLUS_MONOID
+        _, accum, desc = self._get_args(None, accum, desc)
+        from .matrix import _reduce_accum
         v, m = self._dense_pair()
-        return int(dk.reduce_all(v.astype(jnp.int64), m, mon))
+        r = dk.reduce_all(v.astype(jnp.int64), m, mon)
+        return int(_reduce_accum(accum, r, np.int64))
 
     def reduce_float(self, mon=None, mask=None, accum=None, desc=None):
         """Reduce to a float (default PLUS monoid).
@@ -891,8 +901,11 @@ class Vector:
         """
         if mon is None:
             mon = current_monoid.get(None) or self.type.PLUS_MONOID
+        _, accum, desc = self._get_args(None, accum, desc)
+        from .matrix import _reduce_accum
         v, m = self._dense_pair()
-        return float(dk.reduce_all(v.astype(jnp.float64), m, mon))
+        r = dk.reduce_all(v.astype(jnp.float64), m, mon)
+        return float(_reduce_accum(accum, r, np.float64))
 
     def max(self):
         """Maximum stored value.

@@ -665,3 +665,17 @@ def test_vector_diag_and_from_diag():
     m2 = Matrix.from_diag(v, 1)
     assert m2[0, 1] == 1
     assert m2.shape == (4, 4)
+
+
+def test_reduce_scalar_accum():
+    """GrB_reduce with accum combines into the zero-initialized result
+    scalar: r = accum(0, reduce(A)) (reference matrix.py:1759-1858)."""
+    M = Matrix.from_lists([0, 1], [1, 0], [4, 5])
+    assert M.reduce_int() == 9
+    assert M.reduce_int(accum=types.INT64.MINUS) == -9
+    assert M.reduce_int(accum=types.INT64.PLUS) == 9
+    F = Matrix.from_lists([0, 1], [1, 0], [1.5, 2.5])
+    assert F.reduce_float(accum=types.FP64.MINUS) == -4.0
+    B = Matrix.from_lists([0], [0], [True])
+    assert B.reduce_bool(accum=types.BOOL.LOR) is True
+    assert M.reduce(accum=types.INT64.MINUS) == -9

@@ -86,3 +86,22 @@ def test_min_plus_masked_spgemm():
     C = A.mxm(A, semiring=types.FP64.min_plus, mask=mask,
               desc=descriptor.S)
     assert C[0, 2] == 3.0  # 0->1->2
+
+
+def test_masked_spgemm_any_pair_and_min_pair():
+    """PAIR-mul semirings with non-PLUS adds: the value is 1 wherever the
+    intersection is nonempty, not the intersection count (ADVICE r1)."""
+    from pygraphblas_tpu import semiring as sr
+
+    rows, cols = rand_graph(seed=9, nnz=8_000)
+    A = Matrix.sparse(types.INT64, N, N)
+    A._build(rows, cols, np.ones(len(rows), np.int64))
+    mask = Matrix.sparse(types.BOOL, N, N)
+    mask._build(rows[:400], cols[:400], np.ones(400, np.bool_))
+    Cp = A.mxm(A, semiring=sr.PLUS_PAIR_INT64, mask=mask, desc=descriptor.S)
+    for s in (sr.ANY_PAIR_INT64, sr.MIN_PAIR_INT64, sr.MAX_PAIR_INT64):
+        C1 = A.mxm(A, semiring=s, mask=mask, desc=descriptor.S)
+        ri, ci, vi = C1.to_lists()
+        rp, cp, vp = Cp.to_lists()
+        assert (ri, ci) == (rp, cp)     # same pattern as the count version
+        assert all(v == 1 for v in vi)  # but every present value is 1

@@ -61,3 +61,16 @@ def test_default_zero_one():
     assert types.BOOL.default_zero is False
     assert types.FP32.default_one == 1.0
     assert types.INT64.default_one == 1
+
+
+def test_tgamma_negative_arguments():
+    """TGAMMA must be correct (value and sign) on the negative axis."""
+    from scipy.special import gamma as scipy_gamma
+    import numpy as np
+    from pygraphblas_tpu import Vector, types
+
+    xs = [-2.5, -1.5, -0.5, 0.5, 1.0, 3.0, 4.5]
+    v = Vector.from_lists(list(range(len(xs))), xs, typ=types.FP64)
+    got = v.apply(types.FP64.TGAMMA).npV
+    want = scipy_gamma(np.asarray(xs))
+    assert np.allclose(got, want, rtol=1e-5), (got, want)
