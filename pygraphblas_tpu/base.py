@@ -134,8 +134,15 @@ class GlobalConfig:
     format: int = BY_ROW
     # TPU-specific knobs (no reference counterpart):
     # max number of logical cells a matrix may have and still be eligible
-    # for the dense bitmap execution path.
-    bitmap_max_cells: int = 1 << 24
+    # for the dense bitmap execution path.  2^26 fp32 cells = 256MB of
+    # HBM — cheap on a 16GB chip, and it keeps MXU-friendly workloads
+    # (e.g. the GraphChallenge DNN's 60000x1024 layers) on the dense
+    # matmul path where they belong.
+    bitmap_max_cells: int = 1 << 26
+    # vectors have their own (much larger) dense budget: a 2^27 fp64
+    # vector is 1GB of HBM, fine on-chip, and GAP-scale vertex sets
+    # (twitter n=61.5M, urand n=2^26) must hold rank vectors on device
+    vector_max_cells: int = 1 << 27
     # capacity growth factor for padded sparse index arrays
     capacity_factor: float = 1.25
     # SpMV kernel engine: "auto" picks the gather-free decode/permute/fold
@@ -155,6 +162,7 @@ def options_set(
     bitmap_switch=None,
     format=None,
     bitmap_max_cells=None,
+    vector_max_cells=None,
     spmv_engine=None,
 ):
     """Set global library options.
@@ -183,6 +191,8 @@ def options_set(
         config.format = int(format)
     if bitmap_max_cells is not None:
         config.bitmap_max_cells = int(bitmap_max_cells)
+    if vector_max_cells is not None:
+        config.vector_max_cells = int(vector_max_cells)
     if spmv_engine is not None:
         if spmv_engine not in ("auto", "csr8", "xspmv"):
             raise ValueError("spmv_engine must be auto|csr8|xspmv")

@@ -28,16 +28,50 @@ def pairs(rows, cols):
     return a
 
 
+def _key_shift(*col_arrays):
+    """Bit width that packs (row, col) pairs into one int64 key, or None
+    when the coordinates are too large (falls back to structured pairs).
+    Structured-dtype searchsorted is ~30x slower than int64, so packing
+    is the fast path for every real graph (ids < 2^31)."""
+    cmax = 0
+    for c in col_arrays:
+        if len(c):
+            cmax = max(cmax, int(c.max()))
+    shift = max(1, int(cmax).bit_length())
+    return shift if shift <= 31 else None
+
+
+def _keys(r, c, shift):
+    return (np.asarray(r, np.int64) << shift) | np.asarray(c, np.int64)
+
+
 def in_sorted(r, c, sr, sc):
     """Boolean membership of (r, c) pairs in the canonical pair set
     (sr, sc)."""
     if len(sr) == 0 or len(r) == 0:
         return np.zeros(len(r), bool)
-    k = pairs(r, c)
-    sk = pairs(sr, sc)
+    shift = _key_shift(c, sc)
+    if shift is not None and max(
+            int(r.max()) if len(r) else 0,
+            int(sr.max()) if len(sr) else 0).bit_length() + shift < 63:
+        k = _keys(r, c, shift)
+        sk = _keys(sr, sc, shift)
+    else:
+        k = pairs(r, c)
+        sk = pairs(sr, sc)
     pos = np.searchsorted(sk, k)
     pos_c = np.minimum(pos, len(sk) - 1)
     return (pos < len(sk)) & (sk[pos_c] == k)
+
+
+def lex_order(rows, cols):
+    """argsort by (row, col) — packed-key argsort when ids fit, else
+    lexsort."""
+    shift = _key_shift(cols)
+    if shift is not None and (int(rows.max()) if len(rows) else 0)\
+            .bit_length() + shift < 63:
+        return np.argsort(_keys(rows, cols, shift), kind="stable")
+    return np.lexsort((cols, rows))
 
 
 def truthy(vals):
@@ -58,8 +92,15 @@ def union_merge(ra, ca, va, rb, cb, vb, both_fn, dtype):
     """Pattern-union merge: both_fn(a, b) on the intersection, a-only and
     b-only entries pass through (cast to dtype).  Inputs canonical;
     output canonical."""
-    ka = pairs(ra, ca)
-    kb = pairs(rb, cb)
+    shift = _key_shift(ca, cb)
+    if shift is not None and max(
+            int(ra.max()) if len(ra) else 0,
+            int(rb.max()) if len(rb) else 0).bit_length() + shift < 63:
+        ka = _keys(ra, ca, shift)
+        kb = _keys(rb, cb, shift)
+    else:
+        ka = pairs(ra, ca)
+        kb = pairs(rb, cb)
     common, ia, ib = np.intersect1d(ka, kb, assume_unique=True,
                                     return_indices=True)
     matched = np.asarray(both_fn(va[ia], vb[ib])).astype(dtype)
@@ -71,7 +112,7 @@ def union_merge(ra, ca, va, rb, cb, vb, both_fn, dtype):
     cols = np.concatenate([ca[ia], ca[only_a], cb[only_b]])
     vals = np.concatenate([matched, va[only_a].astype(dtype),
                            vb[only_b].astype(dtype)])
-    order = np.lexsort((cols, rows))
+    order = lex_order(rows, cols)
     return rows[order], cols[order], vals[order]
 
 
@@ -119,21 +160,79 @@ def writeback(cr, cc, cv, tr, tc, tv, mpr, mpc, accum_fn, complement,
         out_r = np.concatenate([keep_z[0], keep_c[0]])
         out_c = np.concatenate([keep_z[1], keep_c[1]])
         out_v = np.concatenate([keep_z[2], keep_c[2]])
-    order = np.lexsort((out_c, out_r))
+    order = lex_order(out_r, out_c)
     return out_r[order], out_c[order], out_v[order]
 
 
 # ---------------------------------------------------------------------------
 # extract / assign index plumbing
+#
+# A Selector is the sparse-side compiled form of a GraphBLAS index
+# descriptor (base._build_range / IndexSet): it answers, vectorized,
+# "which source indices are in the set, and at what output position?"
+# plus the inverse "output position -> source index".  ALL/RANGE/STRIDE/
+# BACKWARDS are pure arithmetic, so 2^60-sized index sets cost O(nnz);
+# LIST materializes (it is user-supplied and already in memory).
 # ---------------------------------------------------------------------------
 
 
-def _lookup(I):
-    """Sorted-lookup tables for an index vector: maps a source index value
-    to the positions in I holding it (duplicates allowed)."""
-    I = np.asarray(I, np.int64)
-    order = np.argsort(I, kind="stable")
-    return I[order], order
+class ArithSelector:
+    """start + p*step for p in [0, size); step < 0 walks backwards."""
+
+    __slots__ = ("start", "step", "size")
+
+    def __init__(self, start, step, size):
+        self.start = int(start)
+        self.step = int(step)
+        self.size = int(size)
+
+    def select(self, values):
+        """(entry_indices, positions): which of `values` are selected and
+        where they land (no fan-out: arithmetic sets have no duplicates)."""
+        v = np.asarray(values, np.int64)
+        d = v - self.start
+        if self.step < 0:
+            d = -d
+        st = abs(self.step)
+        keep = (d >= 0) & (d % st == 0) & (d // st < self.size)
+        ent = np.nonzero(keep)[0]
+        return ent, (d[ent] // st)
+
+    def inverse(self, positions):
+        return self.start + np.asarray(positions, np.int64) * self.step
+
+
+class ListSelector:
+    """Explicit index vector (duplicates fan out on select)."""
+
+    __slots__ = ("arr", "size", "_sorted", "_order")
+
+    def __init__(self, arr):
+        self.arr = np.asarray(arr, np.int64)
+        self.size = len(self.arr)
+        self._order = np.argsort(self.arr, kind="stable")
+        self._sorted = self.arr[self._order]
+
+    def select(self, values):
+        return _positions(self._sorted, self._order, values)
+
+    def inverse(self, positions):
+        return self.arr[np.asarray(positions, np.int64)]
+
+
+def selector(iset, dim_size):
+    """Compile a base.IndexSet into a Selector against a dimension."""
+    kind = iset.kind
+    if kind == "all":
+        return ArithSelector(0, 1, dim_size)
+    if kind == "list":
+        return ListSelector(iset.list)
+    if kind == "range":
+        return ArithSelector(iset.start, 1, iset.size)
+    if kind == "stride":
+        return ArithSelector(iset.start, iset.step, iset.size)
+    # backwards
+    return ArithSelector(iset.start, -iset.step, iset.size)
 
 
 def _positions(sorted_I, order, values):
@@ -153,72 +252,63 @@ def _positions(sorted_I, order, values):
     return ent, order[offs]
 
 
-def extract(rows, cols, vals, I, J):
-    """out[a, b] = A[I[a], J[b]] on canonical triples; duplicates in I/J
-    fan entries out.  Returns canonical triples in output coordinates."""
-    I_s, I_ord = _lookup(I)
-    J_s, J_ord = _lookup(J)
+def extract(rows, cols, vals, sel_r, sel_c):
+    """out[a, b] = A[I[a], J[b]] on canonical triples, with I/J given as
+    Selectors; LIST duplicates fan entries out.  Returns canonical
+    triples in output coordinates."""
     # row fan-out
-    ent_r, pos_r = _positions(I_s, I_ord, rows)
+    ent_r, pos_r = sel_r.select(rows)
     r2 = pos_r
     c_src = cols[ent_r]
     v_src = vals[ent_r]
     # col fan-out of the row-expanded stream
-    ent_c, pos_c = _positions(J_s, J_ord, c_src)
+    ent_c, pos_c = sel_c.select(c_src)
     out_r = r2[ent_c]
     out_c = pos_c
     out_v = v_src[ent_c]
-    order = np.lexsort((out_c, out_r))
+    order = lex_order(out_r, out_c)
     return out_r[order], out_c[order], out_v[order]
 
 
-def assign_region(cr, cc, cv, tr, tc, tv, I, J, mpr, mpc, accum_fn,
-                  complement, replace, dtype):
+def _region_map(sel_r, sel_c, rows, cols):
+    """(inside_mask, region_rows, region_cols) for entries against a
+    selector pair (selectors must be duplicate-free, as GrB_assign
+    requires)."""
+    ent_r, pos_r = sel_r.select(rows)
+    in_r = np.zeros(len(rows), bool)
+    in_r[ent_r] = True
+    rpos = np.zeros(len(rows), np.int64)
+    rpos[ent_r] = pos_r
+    ent_c, pos_c = sel_c.select(cols)
+    in_c = np.zeros(len(cols), bool)
+    in_c[ent_c] = True
+    cpos = np.zeros(len(cols), np.int64)
+    cpos[ent_c] = pos_c
+    inside = in_r & in_c
+    return inside, rpos, cpos
+
+
+def assign_region(cr, cc, cv, tr, tc, tv, sel_r, sel_c, mpr, mpc,
+                  accum_fn, complement, replace, dtype):
     """C(I, J)<M> (accum)= T: GrB_assign semantics on canonical triples.
 
-    T is in region coordinates (len(I) x len(J)); the mask pair set
-    (mpr/mpc) is in C coordinates (or None).  Only the region of C is
-    modified (the mask is applied restricted to the region, matching the
-    dense path's `_region_mask`).  I/J must not contain duplicates.
+    T is in region coordinates (sel_r.size x sel_c.size); the mask pair
+    set (mpr/mpc) is in C coordinates (or None).  Only the region of C
+    is modified (the mask is applied restricted to the region, matching
+    the dense path's `_region_mask`).  Selectors must be duplicate-free.
     """
-    I = np.asarray(I, np.int64)
-    J = np.asarray(J, np.int64)
-    # C entries inside the region, in region coordinates
-    I_s, I_ord = _lookup(I)
-    J_s, J_ord = _lookup(J)
-    ent_r, pos_r = _positions(I_s, I_ord, cr)
-    in_rows = np.zeros(len(cr), bool)
-    in_rows[ent_r] = True
-    row_pos = np.zeros(len(cr), np.int64)
-    row_pos[ent_r] = pos_r
-    ent_c, pos_c = _positions(J_s, J_ord, cc)
-    in_cols = np.zeros(len(cc), bool)
-    in_cols[ent_c] = True
-    col_pos = np.zeros(len(cc), np.int64)
-    col_pos[ent_c] = pos_c
-    inside = in_rows & in_cols
-
-    reg_cr = row_pos[inside]
-    reg_cc = col_pos[inside]
+    inside, rpos, cpos = _region_map(sel_r, sel_c, cr, cc)
+    reg_cr = rpos[inside]
+    reg_cc = cpos[inside]
     reg_cv = cv[inside]
-    order = np.lexsort((reg_cc, reg_cr))
+    order = lex_order(reg_cr, reg_cc)
     reg_cr, reg_cc, reg_cv = reg_cr[order], reg_cc[order], reg_cv[order]
 
     # mask restricted to the region, in region coordinates
     if mpr is not None:
-        m_ent_r, m_pos_r = _positions(I_s, I_ord, mpr)
-        m_in_r = np.zeros(len(mpr), bool)
-        m_in_r[m_ent_r] = True
-        m_row = np.zeros(len(mpr), np.int64)
-        m_row[m_ent_r] = m_pos_r
-        m_ent_c, m_pos_c = _positions(J_s, J_ord, mpc)
-        m_in_c = np.zeros(len(mpc), bool)
-        m_in_c[m_ent_c] = True
-        m_col = np.zeros(len(mpc), np.int64)
-        m_col[m_ent_c] = m_pos_c
-        m_in = m_in_r & m_in_c
-        rm, cm = m_row[m_in], m_col[m_in]
-        m_order = np.lexsort((cm, rm))
+        m_in, m_rpos, m_cpos = _region_map(sel_r, sel_c, mpr, mpc)
+        rm, cm = m_rpos[m_in], m_cpos[m_in]
+        m_order = lex_order(rm, cm)
         rmpr, rmpc = rm[m_order], cm[m_order]
     else:
         rmpr = rmpc = None
@@ -227,10 +317,10 @@ def assign_region(cr, cc, cv, tr, tc, tv, I, J, mpr, mpc, accum_fn,
                            rmpr, rmpc, accum_fn, complement, replace, dtype)
 
     # map the region result back to C coordinates, keep C outside
-    out_r = np.concatenate([cr[~inside], I[nr]])
-    out_c = np.concatenate([cc[~inside], J[nc]])
+    out_r = np.concatenate([cr[~inside], sel_r.inverse(nr)])
+    out_c = np.concatenate([cc[~inside], sel_c.inverse(nc)])
     out_v = np.concatenate([cv[~inside].astype(dtype), nv])
-    order = np.lexsort((out_c, out_r))
+    order = lex_order(out_r, out_c)
     return out_r[order], out_c[order], out_v[order]
 
 
@@ -246,5 +336,5 @@ def kron(ra, ca, va, rb, cb, vb, b_nrows, b_ncols, mul_fn, dtype):
     out_r = ra[A] * b_nrows + rb[B]
     out_c = ca[A] * b_ncols + cb[B]
     out_v = np.asarray(mul_fn(va[A], vb[B])).astype(dtype)
-    order = np.lexsort((out_c, out_r))
+    order = lex_order(out_r, out_c)
     return out_r[order], out_c[order], out_v[order]

@@ -35,12 +35,17 @@ def _csr_of(rows, cols, vals):
     return u, s, d
 
 
-def _row_lookup(nrows, u, s, d):
-    starts = np.zeros(nrows, np.int64)
-    degs = np.zeros(nrows, np.int64)
-    starts[u] = s
-    degs[u] = d
-    return starts, degs
+def _row_lookup(u, s, d, query):
+    """(start, degree) per queried row id, by sorted search — no dense
+    per-dimension arrays, so 2^60 logical dims cost O(nnz) only."""
+    if len(u) == 0:
+        z = np.zeros(len(query), np.int64)
+        return z, z.copy()
+    pos = np.searchsorted(u, query)
+    pos_c = np.minimum(pos, len(u) - 1)
+    found = (pos < len(u)) & (u[pos_c] == query)
+    return (np.where(found, s[pos_c], 0).astype(np.int64),
+            np.where(found, d[pos_c], 0).astype(np.int64))
 
 
 def _pallas_fill_keys(a_cols2, b_cols2, a_st, wa, b_st, wb, width):
@@ -248,15 +253,8 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
 
     ua, sa, da = _csr_of(a_rows, a_cols, a_vals)
     ub, sb, db = _csr_of(bt_rows, bt_cols, bt_vals)
-    nra = int(a_rows.max()) + 1 if len(a_rows) else 1
-    nrb = int(bt_rows.max()) + 1 if len(bt_rows) else 1
-    a_starts, a_degs = _row_lookup(max(nra, int(m_rows.max()) + 1), ua, sa,
-                                   da)
-    b_starts, b_degs = _row_lookup(max(nrb, int(m_cols.max()) + 1), ub, sb,
-                                   db)
-
-    wa = a_degs[m_rows]
-    wb = b_degs[m_cols]
+    a_st, wa = _row_lookup(ua, sa, da, m_rows)
+    b_st, wb = _row_lookup(ub, sb, db, m_cols)
     total = wa + wb
     out_vals = np.zeros(nmask, out_dtype)
     out_cnt = np.zeros(nmask, np.int64)
@@ -268,13 +266,13 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
                int(heavy.sum()))
         for e in np.nonzero(heavy)[0]:
             i, j = m_rows[e], m_cols[e]
-            ka = a_cols[a_starts[i]:a_starts[i] + a_degs[i]]
-            kb = bt_cols[b_starts[j]:b_starts[j] + b_degs[j]]
+            ka = a_cols[a_st[e]:a_st[e] + wa[e]]
+            kb = bt_cols[b_st[e]:b_st[e] + wb[e]]
             common, ia, ib = np.intersect1d(ka, kb, assume_unique=True,
                                             return_indices=True)
             if len(common):
-                va = a_vals[a_starts[i] + ia].astype(out_dtype)
-                vb = bt_vals[b_starts[j] + ib].astype(out_dtype)
+                va = a_vals[a_st[e] + ia].astype(out_dtype)
+                vb = bt_vals[b_st[e] + ib].astype(out_dtype)
                 if semiring.mul_op.positional:
                     key, off = semiring.mul_op.positional
                     src = dict(i0=np.full(len(common), i), j0=common,
@@ -346,9 +344,9 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
 
                 c, cnt = _bucket_fill_sort_count(
                     a_cols2, b_cols2,
-                    _padded(a_starts[m_rows[ss]].astype(np.int32)),
+                    _padded(a_st[ss].astype(np.int32)),
                     _padded(wa[ss].astype(np.int32)),
-                    _padded(b_starts[m_cols[ss]].astype(np.int32)),
+                    _padded(b_st[ss].astype(np.int32)),
                     _padded(wb[ss].astype(np.int32)),
                     np.dtype(out_dtype).str, int(w))
                 cnt_h = np.asarray(cnt)[:len(ss)]
@@ -360,9 +358,9 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
             continue
         c, cnt = _bucket_build_intersect(
             a_cols_d, a_vals_d, b_cols_d, b_vals_d,
-            jnp.asarray(a_starts[m_rows[sel]].astype(np.int32)),
+            jnp.asarray(a_st[sel].astype(np.int32)),
             jnp.asarray(wa[sel].astype(np.int32)),
-            jnp.asarray(b_starts[m_cols[sel]].astype(np.int32)),
+            jnp.asarray(b_st[sel].astype(np.int32)),
             jnp.asarray(wb[sel].astype(np.int32)),
             jnp.asarray(m_rows[sel]), jnp.asarray(m_cols[sel]),
             semiring, out_dtype, int(w), bool(narrow))

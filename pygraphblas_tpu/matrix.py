@@ -56,12 +56,17 @@ from .descriptor import Descriptor, Default, T0, current_desc
 from .scalar import Scalar
 from .core import dense as dk
 from .core import coosparse as ck
+from .core import coosem as cs
 
 __all__ = ["Matrix"]
 
 
 def _is_scalar(x):
     return isinstance(x, (bool, int, float, complex, np.generic))
+
+
+def _is_int(x):
+    return isinstance(x, (int, np.integer)) and not isinstance(x, bool)
 
 
 def _reduce_accum(accum, value, np_dtype):
@@ -182,7 +187,16 @@ class Matrix:
         if ncols is None:
             ncols = GxB_INDEX_MAX
         if not cls._fits_bitmap(nrows, ncols):
-            raise InsufficientSpace("dense matrix too large for bitmap format")
+            if nrows * ncols > cls._SCALAR_FILL_BUDGET:
+                raise InsufficientSpace(
+                    "dense matrix too large for bitmap format")
+            # forced-sparse configuration: materialize as full COO
+            m = cls(typ, nrows, ncols, fmt="coo")
+            v = typ.default_zero if fill is None else fill
+            I = np.repeat(np.arange(nrows, dtype=np.int64), ncols)
+            J = np.tile(np.arange(ncols, dtype=np.int64), nrows)
+            m._set_coo(I, J, np.full(len(I), typ._coerce(v), typ._numpy_t))
+            return m
         m = cls(typ, nrows, ncols, fmt="bitmap")
         v = typ.default_zero if fill is None else fill
         m._vals = jnp.full((m._nrows, m._ncols), typ._coerce(v), typ._jnp_dtype())
@@ -565,6 +579,52 @@ class Matrix:
         return mask, accum, desc
 
     # ------------------------------------------------------------------
+    # sparse (COO) writeback: the huge-matrix twin of _writeback, full
+    # mask/accum/replace semantics at any logical dimension
+    # ------------------------------------------------------------------
+
+    def _set_coo(self, r, c, v):
+        """Install canonical COO triples as this matrix's contents."""
+        self._fmt = "coo"
+        self._vals = self._mask = None
+        self._pending = []
+        self._rows_h = np.asarray(r, np.int64)
+        self._cols_h = np.asarray(c, np.int64)
+        self._vals_h = np.asarray(v).astype(self.type._numpy_t)
+        self._invalidate()
+
+    @staticmethod
+    def _np_binop(op):
+        """numpy-vectorized closure of a BinaryOp (through its traced
+        jax apply)."""
+        def fn(x, y):
+            return np.asarray(op.apply(jnp.asarray(x), jnp.asarray(y)))
+        return fn
+
+    def _mask_pair_set(self, mask, desc):
+        """The mask's TRUE (row, col) pair set for sparse writeback."""
+        if mask is None:
+            return None, None
+        if not isinstance(mask, Matrix):
+            raise TypeError("matrix operations take Matrix masks")
+        mr, mc, mv = mask._coo()
+        return cs.mask_pairs(mr, mc, mv, desc.structural)
+
+    def _coo_writeback(self, out, tr, tc, tv, mask, accum, desc):
+        """C<M> (accum)= T with T given as canonical COO triples."""
+        if mask is not None and mask.shape != out.shape:
+            raise DimensionMismatch("mask shape does not match output")
+        mpr, mpc = self._mask_pair_set(mask, desc)
+        cr, cc, cv = out._coo()
+        accum_fn = self._np_binop(accum) if accum is not None else None
+        nr, nc, nv = cs.writeback(cr, cc, cv, tr, tc,
+                                  np.asarray(tv), mpr, mpc, accum_fn,
+                                  desc.complement, desc.replace,
+                                  out.type._numpy_t)
+        out._set_coo(nr, nc, nv)
+        return out
+
+    # ------------------------------------------------------------------
     # properties
     # ------------------------------------------------------------------
 
@@ -775,7 +835,7 @@ class Matrix:
     # ------------------------------------------------------------------
 
     def __setitem__(self, index, value):
-        if isinstance(index, int):
+        if _is_int(index):
             if _is_scalar(value):
                 return self.assign_scalar(value, index)
             from .vector import Vector
@@ -800,18 +860,18 @@ class Matrix:
         i0, i1 = index[0], index[1]
         from .vector import Vector
 
-        if isinstance(i0, int) and isinstance(i1, int):
+        if _is_int(i0) and _is_int(i1):
             if not (0 <= i0 < self._nrows and 0 <= i1 < self._ncols):
                 raise InvalidIndex("index out of bounds")
             self._pending.append(
                 (i0, i1, self.type._coerce(self.type._from_value(value))))
             self._invalidate()
             return
-        if isinstance(i0, int) and isinstance(i1, slice):
+        if _is_int(i0) and isinstance(i1, slice):
             if isinstance(value, Vector):
                 return self.assign_row(i0, value, i1)
             return self.assign_scalar(value, i0, i1)
-        if isinstance(i0, slice) and isinstance(i1, int):
+        if isinstance(i0, slice) and _is_int(i1):
             if isinstance(value, Vector):
                 return self.assign_col(i1, value, i0)
             return self.assign_scalar(value, i0, i1)
@@ -822,7 +882,7 @@ class Matrix:
         raise TypeError
 
     def __getitem__(self, index):
-        if isinstance(index, int):
+        if _is_int(index):
             return self.extract_row(index, None)
         if isinstance(index, slice):
             return self.extract_matrix(index, None)
@@ -831,11 +891,11 @@ class Matrix:
         if not isinstance(index, (tuple, list)):
             raise TypeError
         i0, i1 = index[0], index[1]
-        if isinstance(i0, int) and isinstance(i1, int):
+        if _is_int(i0) and _is_int(i1):
             return self._extract_element(i0, i1)
-        if isinstance(i0, int) and isinstance(i1, slice):
+        if _is_int(i0) and isinstance(i1, slice):
             return self.extract_row(i0, i1)
-        if isinstance(i0, slice) and isinstance(i1, int):
+        if isinstance(i0, slice) and _is_int(i1):
             return self.extract_col(i1, i0)
         return self.extract_matrix(i0, i1)
 
@@ -854,8 +914,8 @@ class Matrix:
         return self.type._to_value(v[i, j])
 
     def __delitem__(self, index):
-        if (not isinstance(index, tuple) or not isinstance(index[0], int)
-                or not isinstance(index[1], int)):
+        if (not isinstance(index, tuple) or not _is_int(index[0])
+                or not _is_int(index[1])):
             raise TypeError("__delitem__ only supports single element removal")
         i, j = index
         self._flush()
@@ -1003,8 +1063,12 @@ class Matrix:
         array([[  0,  42],
                [149,   0]])
         """
-        v, m = self._host_pair()
-        return np.where(m, v, np.zeros((), v.dtype))
+        if self._nrows * self._ncols > self._SCALAR_FILL_BUDGET:
+            raise InsufficientSpace("matrix too large to densify")
+        r, c, v = self._coo()
+        arr = np.zeros(self.shape, self.type._numpy_t)
+        arr[r, c] = v
+        return arr
 
     def binwrite(self, filename, comments="", opener=Path.open):
         """Write this Matrix to a binary checkpoint file."""
@@ -1122,16 +1186,14 @@ class Matrix:
                       else (self._ncols, self._nrows))
             typ = cast if cast is not None else self.type
             out = Matrix.sparse(typ, nr, nc)
-        if self._is_huge:
+        if self._is_huge or out._is_huge:
             # sparse path: host index swap + re-sort (O(nnz log nnz))
-            if mask is not None or accum is not None:
-                raise InsufficientSpace(
-                    "masked/accumulated transpose on huge matrices TBD")
             r, c, v = self._coo()
             if really_transpose:
-                r, c = c, r
-            out._build(r, c, v.astype(out.type._numpy_t))
-            return out
+                r, c, v = ck.build(c, r, v, v.dtype)
+            return self._coo_writeback(out, r, c,
+                                       v.astype(out.type._numpy_t),
+                                       mask, accum, desc)
         v, m = self._dense_pair()
         if really_transpose:
             v, m = v.T, m.T
@@ -1200,12 +1262,13 @@ class Matrix:
 
     def _ewise_huge(self, other, op, out, mask, accum, desc, union):
         """Element-wise union/intersection on huge COO matrices (host
-        sorted-merge, O(nnz log nnz))."""
-        if mask is not None or accum is not None:
-            raise InsufficientSpace(
-                "masked/accumulated ewise on huge matrices TBD")
+        sorted-merge, O(nnz log nnz)), full mask/accum semantics."""
         ra, ca, va = self._coo()
+        if desc.inp0:
+            ra, ca, va = ck.build(ca, ra, va, va.dtype)
         rb, cb, vb = other._coo()
+        if desc.inp1:
+            rb, cb, vb = ck.build(cb, rb, vb, vb.dtype)
         dt = out.type._numpy_t
 
         def fn(x, y):
@@ -1215,8 +1278,7 @@ class Matrix:
             return np.asarray(op.apply(jnp.asarray(x), jnp.asarray(y)))
 
         r, c, v = ck.ewise(ra, ca, va, rb, cb, vb, fn, dt, union=union)
-        out._build(r, c, v)
-        return out
+        return self._coo_writeback(out, r, c, v, mask, accum, desc)
 
     union = eadd
 
@@ -1308,17 +1370,17 @@ class Matrix:
         if out is None:
             out = Matrix.sparse(ztype, self._nrows, self._ncols)
         if self._is_huge:
-            if mask is not None or accum is not None:
-                raise InsufficientSpace(
-                    "masked/accumulated apply on huge matrices TBD")
             r, c, v = self._coo()
+            if desc.inp0:
+                r, c, v = ck.build(c, r, v, v.dtype)
             if op.positional:
                 pos = dict(i=jnp.asarray(r), j=jnp.asarray(c))
                 nv = op.apply(None, pos)
             else:
                 nv = op.apply(jnp.asarray(v))
-            out._build(r, c, np.asarray(nv).astype(out.type._numpy_t))
-            return out
+            return self._coo_writeback(
+                out, r, c, np.asarray(nv).astype(out.type._numpy_t),
+                mask, accum, desc)
         v, m = self._dense_pair(desc.inp0)
         tv, tm = dk.apply_unary(v, m, op, ztype._jnp_dtype())
         return self._writeback(out, tv, tm, mask, accum, desc)
@@ -1341,6 +1403,9 @@ class Matrix:
         ztype = op.ztype(self.type)
         if out is None:
             out = Matrix.sparse(ztype, self._nrows, self._ncols)
+        if self._is_huge:
+            return self._apply_bound_sparse(op, first, True, out, mask,
+                                            accum, desc)
         v, m = self._dense_pair()
         tv, tm = dk.apply_binary_bound(v, m, self.type._coerce(first), op,
                                        ztype._jnp_dtype(), True)
@@ -1364,10 +1429,31 @@ class Matrix:
         ztype = op.ztype(self.type)
         if out is None:
             out = Matrix.sparse(ztype, self._nrows, self._ncols)
+        if self._is_huge:
+            return self._apply_bound_sparse(op, second, False, out, mask,
+                                            accum, desc)
         v, m = self._dense_pair()
         tv, tm = dk.apply_binary_bound(v, m, self.type._coerce(second), op,
                                        ztype._jnp_dtype(), False)
         return self._writeback(out, tv, tm, mask, accum, desc)
+
+    def _apply_bound_sparse(self, op, scalar, bind_first, out, mask,
+                            accum, desc):
+        """apply_first/apply_second on COO triples."""
+        r, c, v = self._coo()
+        s = jnp.asarray(self.type._coerce(scalar))
+        vj = jnp.asarray(v)
+        if op.positional:
+            pos = dict(i0=jnp.asarray(r), j0=jnp.asarray(c),
+                       i1=jnp.asarray(r), j1=jnp.asarray(c))
+            z = op.apply(vj, vj, pos)
+        elif bind_first:
+            z = op.apply(s.astype(vj.dtype), vj)
+        else:
+            z = op.apply(vj, s.astype(vj.dtype))
+        return self._coo_writeback(
+            out, r, c, np.asarray(z).astype(out.type._numpy_t),
+            mask, accum, desc)
 
     def select(self, op, thunk=None, out=None, mask=None, accum=None,
                desc=None):
@@ -1408,15 +1494,14 @@ class Matrix:
             thunk = self.type._coerce(thunk)
         mask, accum, desc = self._get_args(mask, accum, desc)
         if self._is_huge:
-            if mask is not None or accum is not None:
-                raise InsufficientSpace(
-                    "masked/accumulated select on huge matrices TBD")
             r, c, v = self._coo()
+            if desc.inp0:
+                r, c, v = ck.build(c, r, v, v.dtype)
             keep = np.asarray(op.apply(jnp.asarray(r), jnp.asarray(c),
                                        jnp.asarray(v), thunk))
-            out._build(r[keep], c[keep],
-                       v[keep].astype(out.type._numpy_t))
-            return out
+            return self._coo_writeback(
+                out, r[keep], c[keep], v[keep].astype(out.type._numpy_t),
+                mask, accum, desc)
         v, m = self._dense_pair(desc.inp0)
         tv, tm = dk.select(v, m, thunk, op)
         return self._writeback(out, tv, tm, mask, accum, desc)
@@ -1480,6 +1565,13 @@ class Matrix:
             n = min(self._nrows + k, self._ncols)
         n = max(n, 0)
         out = Vector.sparse(self.type, n)
+        if self._is_huge:
+            r, c, v = self._coo()
+            sel = (c - r) == k
+            idx = r[sel] if k >= 0 else c[sel]
+            keep = idx < n
+            return out._coo_writeback(out, idx[keep], v[sel][keep],
+                                      None, None, Default)
         v, m = self._dense_pair()
         idx = jnp.arange(n)
         if k >= 0:
@@ -1656,40 +1748,34 @@ class Matrix:
         return self._writeback(out, tv, tm, mask, accum, desc)
 
     def _sparse_mxm(self, other, semiring, out, mask, accum, desc):
-        """Masked SpGEMM for huge matrices (core/spgemm.py): the output
-        pattern is bounded by the mask, so each result entry is one
-        sparse dot product."""
+        """SpGEMM for huge matrices.  With a (non-complement) mask the
+        output pattern is bounded by the mask and each result entry is
+        one sparse dot product (core/spgemm.py Pallas bucket kernels);
+        unmasked (or complement-masked) products go through the
+        two-phase symbolic/numeric Gustavson (core/gustavson.py).  The
+        sparse writeback then applies the full mask/accum/replace
+        semantics."""
         from .core import spgemm as gk
+        from .core import gustavson as gus
 
-        if mask is None:
-            raise InsufficientSpace(
-                "unmasked SpGEMM on huge matrices not yet supported; "
-                "provide a mask (output pattern bound) or use smaller "
-                "dimensions")
-        if accum is not None:
-            raise InsufficientSpace(
-                "accumulated masked SpGEMM on huge matrices TBD")
-        if desc.complement:
-            raise InsufficientSpace(
-                "complement masks cannot be enumerated on huge matrices")
-        mr, mc, mv = mask._coo()
-        if not desc.structural:
-            truthy = np.asarray(mv, bool) if mv.dtype == np.bool_ \
-                else mv != 0
-            mr, mc = mr[truthy], mc[truthy]
-        # A rows (optionally transposed), B columns = rows of B^T
+        # A rows (optionally transposed); effective B
         ra, ca, va = self._coo()
         if desc.inp0:
             ra, ca, va = ck.build(ca, ra, va, va.dtype)
         rb, cb, vb = other._coo()
-        if not desc.inp1:
+        if desc.inp1:
             rb, cb, vb = ck.build(cb, rb, vb, vb.dtype)
         zt = np.dtype(semiring.ztype._numpy_t)
-        r, c, v = gk.masked_spgemm(ra, ca, va, rb, cb, vb, mr, mc,
-                                   semiring, zt)
-        out.clear()
-        out._build(r, c, v.astype(out.type._numpy_t))
-        return out
+        if mask is not None and not desc.complement:
+            mr, mc = self._mask_pair_set(mask, desc)
+            bt_r, bt_c, bt_v = ck.build(cb, rb, vb, vb.dtype)
+            r, c, v = gk.masked_spgemm(ra, ca, va, bt_r, bt_c, bt_v,
+                                       mr, mc, semiring, zt)
+        else:
+            r, c, v = gus.spgemm(ra, ca, va, rb, cb, vb, semiring, zt)
+        return self._coo_writeback(out, r, c,
+                                   v.astype(out.type._numpy_t),
+                                   mask, accum, desc)
 
     def mxv(self, other, semiring=None, cast=None, out=None, mask=None,
             accum=None, desc=None):
@@ -1843,9 +1929,24 @@ class Matrix:
             op = op.mul_op
         if isinstance(op, Monoid):
             op = op.binaryop
+        a_nr, a_nc = ((self._ncols, self._nrows) if desc.inp0
+                      else (self._nrows, self._ncols))
+        b_nr, b_nc = ((other._ncols, other._nrows) if desc.inp1
+                      else (other._nrows, other._ncols))
         if out is None:
-            out = Matrix.sparse(typ, self._nrows * other._nrows,
-                                self._ncols * other._ncols)
+            out = Matrix.sparse(typ, a_nr * b_nr, a_nc * b_nc)
+        if self._is_huge or other._is_huge or out._is_huge:
+            ra, ca, va = self._coo()
+            if desc.inp0:
+                ra, ca, va = ck.build(ca, ra, va, va.dtype)
+            rb, cb, vb = other._coo()
+            if desc.inp1:
+                rb, cb, vb = ck.build(cb, rb, vb, vb.dtype)
+            dt = out.type._numpy_t
+            fn = self._np_binop(op)
+            r, c, v = cs.kron(ra, ca, va.astype(dt), rb, cb,
+                              vb.astype(dt), b_nr, b_nc, fn, dt)
+            return self._coo_writeback(out, r, c, v, mask, accum, desc)
         av, am = self._dense_pair(desc.inp0)
         bv, bm = other._dense_pair(desc.inp1)
         tv, tm = dk.kronecker(av, am, bv, bm, op, out.type._jnp_dtype())
@@ -1883,11 +1984,18 @@ class Matrix:
 
     def _resolve_index(self, idx, dim_size):
         """Compile an index argument into a host numpy index vector."""
-        if isinstance(idx, int):
+        return np.asarray(self._resolve_iset(idx, dim_size)
+                          .indices(dim_size), np.int64)
+
+    def _resolve_iset(self, idx, dim_size):
+        """Compile an index argument into an IndexSet (size resolved)."""
+        if _is_int(idx):
             iset = _build_range(slice(idx, idx), dim_size - 1)
         else:
             iset = _build_range(idx, dim_size - 1)
-        return np.asarray(iset.indices(dim_size), np.int64)
+        if iset.size is None:
+            iset.size = dim_size
+        return iset
 
     def extract_matrix(self, row_index=None, col_index=None, out=None,
                        mask=None, accum=None, desc=None):
@@ -1904,10 +2012,22 @@ class Matrix:
         mask, accum, desc = self._get_args(mask, accum, desc)
         result_nrows = self.ncols if ta else self.nrows
         result_ncols = self.nrows if ta else self.ncols
-        I = self._resolve_index(row_index, result_nrows)
-        J = self._resolve_index(col_index, result_ncols)
+        iset_r = self._resolve_iset(row_index, result_nrows)
+        iset_c = self._resolve_iset(col_index, result_ncols)
         if out is None:
-            out = self.__class__.sparse(self.type, len(I), len(J))
+            out = self.__class__.sparse(self.type, iset_r.size, iset_c.size)
+        if self._is_huge or out._is_huge:
+            r, c, v = self._coo()
+            if ta:
+                r, c, v = ck.build(c, r, v, v.dtype)
+            er, ec, ev = cs.extract(r, c, v,
+                                    cs.selector(iset_r, result_nrows),
+                                    cs.selector(iset_c, result_ncols))
+            return self._coo_writeback(out, er, ec,
+                                       ev.astype(out.type._numpy_t),
+                                       mask, accum, desc)
+        I = np.asarray(iset_r.indices(result_nrows), np.int64)
+        J = np.asarray(iset_c.indices(result_ncols), np.int64)
         v, m = self._dense_pair(ta)
         tv, tm = dk.gather2d(v, m, jnp.asarray(I), jnp.asarray(J))
         return self._writeback(out, tv.astype(out.type._jnp_dtype()), tm,
@@ -1926,11 +2046,24 @@ class Matrix:
         from .vector import Vector
 
         ta = desc is not None and desc.inp0
-        stop_val = self.ncols - 1 if ta else self.nrows - 1
-        I = self._resolve_index(row_slice, stop_val + 1)
+        dim = self.ncols if ta else self.nrows
+        iset = self._resolve_iset(row_slice, dim)
         mask, accum, desc = self._get_args(mask, accum, desc)
         if out is None:
-            out = Vector.sparse(self.type, len(I))
+            out = Vector.sparse(self.type, iset.size)
+        if self._is_huge:
+            r, c, v = self._coo()
+            if ta:
+                r, c, v = ck.build(c, r, v, v.dtype)
+            sel = c == col_index
+            rows, vals = r[sel], v[sel]
+            ent, pos = cs.selector(iset, dim).select(rows)
+            ti, tv = pos, vals[ent]
+            order = np.argsort(ti, kind="stable")
+            return out._coo_writeback(out, ti[order],
+                                      tv[order].astype(out.type._numpy_t),
+                                      mask, accum, desc)
+        I = np.asarray(iset.indices(dim), np.int64)
         v, m = self._dense_pair(ta)
         tv = v[jnp.asarray(I), col_index]
         tm = m[jnp.asarray(I), col_index]
@@ -1968,9 +2101,14 @@ class Matrix:
         """
         mask, accum, desc = self._get_args(mask, accum, desc)
         stop_val = self.ncols if desc.inp0 else self.nrows
-        I = self._resolve_index(row_slice, stop_val)
-        if len(I) != value.size:
+        iset = self._resolve_iset(row_slice, stop_val)
+        if iset.size != value.size:
             raise DimensionMismatch("assign_col length mismatch")
+        if self._is_huge:
+            return self._assign_line_sparse(value, iset, stop_val,
+                                            col_index, mask, accum, desc,
+                                            is_col=True)
+        I = np.asarray(iset.indices(stop_val), np.int64)
         self._flush()
         v, m = self._dense_pair()
         xv, xm = value._dense_pair()
@@ -2008,9 +2146,14 @@ class Matrix:
               0  1  2
         """
         mask, accum, desc = self._get_args(mask, accum, desc)
-        J = self._resolve_index(col_slice, self.ncols)
-        if len(J) != value.size:
+        iset = self._resolve_iset(col_slice, self.ncols)
+        if iset.size != value.size:
             raise DimensionMismatch("assign_row length mismatch")
+        if self._is_huge:
+            return self._assign_line_sparse(value, iset, self.ncols,
+                                            row_index, mask, accum, desc,
+                                            is_col=False)
+        J = np.asarray(iset.indices(self.ncols), np.int64)
         self._flush()
         v, m = self._dense_pair()
         xv, xm = value._dense_pair()
@@ -2033,6 +2176,38 @@ class Matrix:
         self._set_dense(v.at[row_index, idx].set(new_v),
                         m.at[row_index, idx].set(new_m))
 
+    def _assign_line_sparse(self, value, iset, dim, fixed_index, mask,
+                            accum, desc, is_col):
+        """Sparse-path row/column assign: a 1-wide assign_region along
+        the fixed row (is_col=False) or column (is_col=True)."""
+        self._flush()
+        ti, tv = value._coo()
+        cr, cc, cv = self._coo()
+        mpr = mpc = None
+        if mask is not None:
+            if isinstance(mask, Matrix):
+                mpr, mpc = self._mask_pair_set(mask, desc)
+            else:
+                # vector mask lives along the assigned line; lift it into
+                # C coordinates so the region mapping filters it
+                mi, mv = mask._coo()
+                ii, jj = ((mi, np.full_like(mi, fixed_index)) if is_col
+                          else (np.full_like(mi, fixed_index), mi))
+                mpr, mpc = cs.mask_pairs(ii, jj, mv, desc.structural)
+        accum_fn = self._np_binop(accum) if accum is not None else None
+        line_sel = cs.ArithSelector(fixed_index, 1, 1)
+        span_sel = cs.selector(iset, dim)
+        zero = np.zeros_like(ti)
+        if is_col:
+            args = (ti, zero, span_sel, line_sel)
+        else:
+            args = (zero, ti, line_sel, span_sel)
+        nr, nc, nv = cs.assign_region(
+            cr, cc, cv, args[0], args[1], tv.astype(self.type._numpy_t),
+            args[2], args[3], mpr, mpc, accum_fn, desc.complement,
+            desc.replace, self.type._numpy_t)
+        self._set_coo(nr, nc, nv)
+
     def assign_matrix(self, value, rindex=None, cindex=None, mask=None,
                       accum=None, desc=None):
         """Assign a submatrix (GrB_Matrix_assign parity).
@@ -2047,10 +2222,36 @@ class Matrix:
               0  1  2
         """
         mask, accum, desc = self._get_args(mask, accum, desc)
-        I = self._resolve_index(rindex, self.nrows)
-        J = self._resolve_index(cindex, self.ncols)
-        if len(I) != value.nrows or len(J) != value.ncols:
+        iset_r = self._resolve_iset(rindex, self.nrows)
+        iset_c = self._resolve_iset(cindex, self.ncols)
+        if iset_r.size != value.nrows or iset_c.size != value.ncols:
             raise DimensionMismatch("assign shape mismatch")
+        if self._is_huge or value._is_huge:
+            self._flush()
+            tr, tc, tv = value._coo()
+            if desc.inp0:
+                tr, tc, tv = ck.build(tc, tr, tv, tv.dtype)
+            full = (iset_r.kind == IndexSet.ALL
+                    and iset_c.kind == IndexSet.ALL
+                    and (iset_r.size, iset_c.size) == self.shape)
+            if full:
+                self._coo_writeback(self, tr, tc,
+                                    tv.astype(self.type._numpy_t),
+                                    mask, accum, desc)
+                return
+            cr, cc, cv = self._coo()
+            mpr, mpc = self._mask_pair_set(mask, desc)
+            accum_fn = self._np_binop(accum) if accum is not None else None
+            nr, nc, nv = cs.assign_region(
+                cr, cc, cv, tr, tc, tv.astype(self.type._numpy_t),
+                cs.selector(iset_r, self.nrows),
+                cs.selector(iset_c, self.ncols),
+                mpr, mpc, accum_fn, desc.complement, desc.replace,
+                self.type._numpy_t)
+            self._set_coo(nr, nc, nv)
+            return
+        I = np.asarray(iset_r.indices(self.nrows), np.int64)
+        J = np.asarray(iset_c.indices(self.ncols), np.int64)
         self._flush()
         xv, xm = value._dense_pair(desc.inp0)
         if (len(I), len(J)) == self.shape and \
@@ -2098,8 +2299,13 @@ class Matrix:
               0  1  2
         """
         mask, accum, desc = self._get_args(mask, accum, desc)
-        I = self._resolve_index(row_slice, self.nrows)
-        J = self._resolve_index(col_slice, self.ncols)
+        iset_r = self._resolve_iset(row_slice, self.nrows)
+        iset_c = self._resolve_iset(col_slice, self.ncols)
+        if self._is_huge:
+            return self._assign_scalar_sparse(value, iset_r, iset_c, mask,
+                                              accum, desc)
+        I = np.asarray(iset_r.indices(self.nrows), np.int64)
+        J = np.asarray(iset_c.indices(self.ncols), np.int64)
         self._flush()
         v, m = self._dense_pair()
         tv = jnp.full((len(I), len(J)), self.type._coerce(value),
@@ -2119,6 +2325,45 @@ class Matrix:
                               replace=desc.replace)
         v2, m2 = dk.scatter2d(v, m, jnp.asarray(I), jnp.asarray(J), nv, nm)
         self._set_dense(v2, m2)
+
+    # budget (cells) for materializing a scalar-fill region on the sparse
+    # path; independent of bitmap_max_cells so forced-COO configurations
+    # keep full assign semantics on small shapes
+    _SCALAR_FILL_BUDGET = 1 << 24
+
+    def _assign_scalar_sparse(self, value, iset_r, iset_c, mask, accum,
+                              desc):
+        """Scalar assign on a huge matrix: masked full-region fills take
+        the mask's pattern (the reference's ``Y[M] = 32`` idiom at any
+        scale); bounded regions materialize; unbounded unmasked fills
+        cannot be enumerated."""
+        self._flush()
+        val = self.type._coerce(value)
+        full = (iset_r.kind == IndexSet.ALL and iset_c.kind == IndexSet.ALL)
+        cells = iset_r.size * iset_c.size
+        if full and mask is not None and not desc.complement:
+            # T = scalar at every true mask position
+            mpr, mpc = self._mask_pair_set(mask, desc)
+            tv = np.full(len(mpr), val, self.type._numpy_t)
+            self._coo_writeback(self, mpr, mpc, tv, mask, accum, desc)
+            return
+        if cells > self._SCALAR_FILL_BUDGET:
+            raise InsufficientSpace(
+                "unbounded scalar fill on a huge matrix requires a mask "
+                "(the fill pattern cannot be enumerated)")
+        I = np.repeat(np.arange(iset_r.size, dtype=np.int64), iset_c.size)
+        J = np.tile(np.arange(iset_c.size, dtype=np.int64), iset_r.size)
+        tv = np.full(len(I), val, self.type._numpy_t)
+        cr, cc, cv = self._coo()
+        mpr, mpc = self._mask_pair_set(mask, desc)
+        accum_fn = self._np_binop(accum) if accum is not None else None
+        nr, nc, nv = cs.assign_region(
+            cr, cc, cv, I, J, tv,
+            cs.selector(iset_r, self.nrows),
+            cs.selector(iset_c, self.ncols),
+            mpr, mpc, accum_fn, desc.complement, desc.replace,
+            self.type._numpy_t)
+        self._set_coo(nr, nc, nv)
 
     # ------------------------------------------------------------------
     # comparison operators

@@ -46,6 +46,10 @@ def _is_scalar(x):
     return isinstance(x, (bool, int, float, complex, np.generic))
 
 
+def _is_int(x):
+    return isinstance(x, (int, np.integer)) and not isinstance(x, bool)
+
+
 class Vector:
     """GraphBLAS Vector.
 
@@ -89,7 +93,7 @@ class Vector:
 
     @staticmethod
     def _fits_bitmap(size):
-        return size <= config.bitmap_max_cells
+        return size <= config.vector_max_cells
 
     # ------------------------------------------------------------------
     # constructors
@@ -123,7 +127,15 @@ class Vector:
         if size is None:
             size = GxB_INDEX_MAX
         if not cls._fits_bitmap(size):
-            raise InsufficientSpace("dense vector too large")
+            if size > (1 << 27):
+                raise InsufficientSpace(
+                    "dense vector too large (use Vector.iso for O(1) "
+                    "all-same-value vectors)")
+            v = cls(typ, size, fmt="coo")
+            fillv = typ.default_zero if fill is None else fill
+            v._set_coo(np.arange(size, dtype=np.int64),
+                       np.full(size, typ._coerce(fillv), typ._numpy_t))
+            return v
         v = cls(typ, size, fmt="bitmap")
         fillv = typ.default_zero if fill is None else fill
         v._vals = jnp.full((v._size,), typ._coerce(fillv), typ._jnp_dtype())
@@ -324,6 +336,62 @@ class Vector:
         return mask, accum, desc
 
     # ------------------------------------------------------------------
+    # sparse (COO) writeback — the huge-vector twin of _writeback
+    # ------------------------------------------------------------------
+
+    def _set_coo(self, i, v):
+        """Install canonical sorted index/value arrays as contents."""
+        self._fmt = "coo"
+        self._vals = self._mask = None
+        self._pending = []
+        self._idx_h = np.asarray(i, np.int64)
+        self._vals_h = np.asarray(v).astype(self.type._numpy_t)
+        self._invalidate()
+
+    def _mask_pair_set(self, mask, desc):
+        if mask is None:
+            return None, None
+        mi, mv = mask._coo()
+        from .core import coosem as cs
+
+        return cs.mask_pairs(mi, np.zeros_like(mi), mv, desc.structural)
+
+    def _coo_writeback(self, out, ti, tv, mask, accum, desc):
+        """w<m> (accum)= t with t as canonical (idx, vals) arrays.
+
+        When the output fits the dense budget the triples are scattered
+        into device arrays and the fused dense writeback runs (keeps
+        device residency for the common case); truly huge vectors go
+        through the sorted-merge semantics of core/coosem.py."""
+        from .core import coosem as cs
+        from .matrix import Matrix as _M
+
+        if mask is not None and mask.shape[0] != out.size:
+            raise DimensionMismatch("mask size does not match output")
+        if out._fits_bitmap(out.size):
+            dt = out.type._jnp_dtype()
+            idx = jnp.asarray(np.asarray(ti, np.int64))
+            tvd = jnp.zeros((out.size,), dt)
+            tmd = jnp.zeros((out.size,), jnp.bool_)
+            if len(ti):
+                tvd = tvd.at[idx].set(
+                    jnp.asarray(np.asarray(tv).astype(out.type._numpy_t)))
+                tmd = tmd.at[idx].set(True)
+            return self._writeback(out, tvd, tmd, mask, accum, desc)
+        mpi, _ = self._mask_pair_set(mask, desc)
+        ci, cv = out._coo()
+        accum_fn = _M._np_binop(accum) if accum is not None else None
+        z = np.zeros_like
+        nr, _, nv = cs.writeback(ci, z(ci), cv, np.asarray(ti, np.int64),
+                                 z(np.asarray(ti, np.int64)),
+                                 np.asarray(tv),
+                                 mpi, z(mpi) if mpi is not None else None,
+                                 accum_fn, desc.complement, desc.replace,
+                                 out.type._numpy_t)
+        out._set_coo(nr, nv)
+        return out
+
+    # ------------------------------------------------------------------
     # properties
     # ------------------------------------------------------------------
 
@@ -481,7 +549,7 @@ class Vector:
             self._vals.block_until_ready()
 
     def __setitem__(self, index, value):
-        if isinstance(index, int):
+        if _is_int(index):
             if not 0 <= index < self._size:
                 raise InvalidIndex("index out of bounds")
             self._pending.append(
@@ -503,12 +571,12 @@ class Vector:
         raise TypeError
 
     def __getitem__(self, index):
-        if isinstance(index, int):
+        if _is_int(index):
             return self.extract_element(index)
         return self.extract(index)
 
     def __delitem__(self, index):
-        if not isinstance(index, int):
+        if not _is_int(index):
             raise TypeError("only single element removal supported")
         self._flush()
         if self._fmt == "coo":
@@ -562,7 +630,7 @@ class Vector:
         1| 3
         """
         mask, accum, desc = self._get_args(mask, accum, desc)
-        iset = _build_range(index if not isinstance(index, int)
+        iset = _build_range(index if not _is_int(index)
                             else slice(index, index), self._size - 1)
         I = np.asarray(iset.indices(self._size), np.int64)
         out = Vector.sparse(self.type, len(I))
@@ -1162,7 +1230,7 @@ class Vector:
         2| 7
         """
         mask, accum, desc = self._get_args(mask, accum, desc)
-        iset = _build_range(index if not isinstance(index, int)
+        iset = _build_range(index if not _is_int(index)
                             else slice(index, index), self._size - 1)
         I = np.asarray(iset.indices(self._size), np.int64)
         if len(I) != value.size:
@@ -1199,7 +1267,7 @@ class Vector:
         2|42
         """
         mask, accum, desc = self._get_args(mask, accum, desc)
-        iset = _build_range(index if not isinstance(index, int)
+        iset = _build_range(index if not _is_int(index)
                             else slice(index, index), self._size - 1)
         I = np.asarray(iset.indices(self._size), np.int64)
         self._flush()
