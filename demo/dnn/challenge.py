@@ -97,6 +97,80 @@ def run_synthetic(radices=(4, 4, 4), nlayers=12, nimages=512, seed=7):
     return result
 
 
+def _scipy_dnn_oracle(img_r, img_c, img_v, layer_triples, nfeat, n, bias):
+    """Reference implementation of the GraphChallenge recurrence
+    (Y = clip32(relu(Y@W + bias on pattern))) in scipy, for the category
+    truth oracle when the official dataset is not on disk."""
+    from scipy import sparse as sp
+
+    Y = sp.coo_matrix((img_v, (img_r, img_c)),
+                      shape=(nfeat, n)).tocsr()
+    for (wr, wc, wv) in layer_triples:
+        W = sp.coo_matrix((wv, (wr, wc)), shape=(n, n)).tocsr()
+        Y = (Y @ W).tocsr()
+        Y.data += np.float32(bias)      # bias on the product pattern
+        Y.data = np.minimum(np.maximum(Y.data, 0), 32).astype(np.float32)
+        Y.eliminate_zeros()
+    return Y
+
+
+def run_fullscale(nneurons=1024, nlayers=120, nimages=NFEATURES, seed=7):
+    """The official-size run (60,000 x nneurons images through nlayers
+    RadiX-Net layers) with a self-computed category truth oracle —
+    the reference's dataset-scale config (demo/dnn/dnn.sh) made hermetic
+    (no network egress for the GraphChallenge tarballs).
+    """
+    from pygraphblas_tpu import Matrix, types
+
+    # exact-radix network at nneurons; like the official nets, layers
+    # have uniform degree r and a constant weight tuned so the expected
+    # activation (fill * r * weight + bias) stays positive
+    radices = []
+    n = nneurons
+    while n > 1:
+        for r in (32, 16, 8, 4, 2):
+            if n % r == 0:
+                radices.append(r)
+                n //= r
+                break
+    deg = min(radices)
+    # weight and bias are exact binary fractions so every activation is
+    # exactly representable in fp32 -- the category oracle is then
+    # independent of summation order (engine vs scipy)
+    n, layers = radix_net(radices, nlayers, weight=4.0 / deg, seed=seed)
+    assert n == nneurons, (n, nneurons)
+
+    rng = np.random.RandomState(seed)
+    # binary images with per-row fill in [0, 0.3): sparse rows die in
+    # the network, dense rows survive, so the category set is a real
+    # discrimination oracle (like the official truth files)
+    counts = rng.randint(0, max(2, int(0.3 * n)), nimages)
+    img_r = np.repeat(np.arange(nimages), counts)
+    img_c = rng.randint(0, n, counts.sum())
+    keys = img_r.astype(np.int64) * n + img_c
+    _, first = np.unique(keys, return_index=True)
+    img_r, img_c = img_r[first], img_c[first]
+    img_v = np.ones(len(img_r), np.float32)
+    images = Matrix.sparse(types.FP32, nimages, n)
+    images._build(img_r.astype(np.int64), img_c.astype(np.int64), img_v)
+
+    bias = -0.25
+    biases = build_biases(n, nlayers, bias)
+    result = run(n, images, layers, biases)
+    predicted = set(result.reduce_vector().nonzero().indices)
+
+    truth_Y = _scipy_dnn_oracle(
+        img_r, img_c, img_v, [w._coo() for w in layers],
+        nimages, n, bias)
+    truth = set(np.nonzero(np.asarray(
+        truth_Y.sum(axis=1)).ravel() != 0)[0].tolist())
+    assert predicted == truth, (
+        f"category mismatch: {len(predicted ^ truth)} differ")
+    print(f"OK: {len(predicted)} categories match the oracle "
+          f"({nimages} images x {nneurons} neurons x {nlayers} layers)")
+    return result
+
+
 if __name__ == "__main__":
     import argparse
 
@@ -105,8 +179,13 @@ if __name__ == "__main__":
                    help="GraphChallenge dataset directory")
     p.add_argument("--nneurons", type=int, default=1024)
     p.add_argument("--nlayers", type=int, default=120)
+    p.add_argument("--fullscale", action="store_true",
+                   help="official-size hermetic run with oracle")
+    p.add_argument("--nimages", type=int, default=NFEATURES)
     args = p.parse_args()
     if args.ndir:
         run_challenge(args.ndir, args.nneurons, args.nlayers)
+    elif args.fullscale:
+        run_fullscale(args.nneurons, args.nlayers, args.nimages)
     else:
         run_synthetic()

@@ -259,17 +259,21 @@ class IndexSet:
         self.size = size
 
     def indices(self, dim_size):
-        """Materialize as a host list of indices against a dimension size."""
+        """Materialize as a host index vector against a dimension size."""
+        import numpy as np
+
         if self.kind == IndexSet.ALL:
-            return list(range(dim_size))
+            return np.arange(dim_size, dtype=np.int64)
         if self.kind == IndexSet.LIST:
-            return list(self.list)
+            return np.asarray(self.list, dtype=np.int64)
         if self.kind == IndexSet.RANGE:
-            return list(range(self.start, self.stop + 1))
+            return np.arange(self.start, self.stop + 1, dtype=np.int64)
         if self.kind == IndexSet.STRIDE:
-            return list(range(self.start, self.stop + 1, self.step))
+            return np.arange(self.start, self.stop + 1, self.step,
+                             dtype=np.int64)
         if self.kind == IndexSet.BACKWARDS:
-            return list(range(self.start, self.stop - 1, -self.step))
+            return np.arange(self.start, self.stop - 1, -self.step,
+                             dtype=np.int64)
         raise Panic("unknown index kind")  # pragma: no cover
 
 

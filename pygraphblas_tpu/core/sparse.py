@@ -49,6 +49,22 @@ def coo_segment_reduce(ids, vals, monoid, out_dtype, out_size):
     return y, y_mask
 
 
+def coo_segment_reduce_compact(ids_host, vals_host, monoid, out_dtype):
+    """Sparse-output segment reduce: monoid-reduce values by arbitrary
+    (up to 2^60) ids.  The id space is compacted on the host so the
+    device reduction runs over #distinct segments, and the result comes
+    back as (unique_ids, values) — every segment is present."""
+    out_dtype = np.dtype(out_dtype)
+    uids, inv = np.unique(ids_host, return_inverse=True)
+    if len(uids) == 0:
+        return uids, np.empty(0, out_dtype)
+    tv, _ = coo_segment_reduce(jnp.asarray(inv.astype(np.int32)
+                                           if len(uids) < 2**31 else inv),
+                               jnp.asarray(vals_host), monoid,
+                               out_dtype.str, len(uids))
+    return uids, np.asarray(tv).astype(out_dtype)
+
+
 @partial(jax.jit, static_argnames=("semiring", "out_dtype", "out_size"))
 def coo_spmv(ids_out, ids_in, vals, x_vals, x_mask, semiring, out_dtype,
              out_size):

@@ -104,6 +104,7 @@ class Matrix:
         "_host_c",      # cached host (vals, mask) snapshot for bitmap
         "_dev_coo_c",   # cached device COO triples for sparse kernels
         "_ell_c",       # cached degree-binned ELL format per orientation
+        "_diag_c",      # known-diagonal flag (constructor-set, cleared on write)
         "_format",      # BY_ROW / BY_COL orientation hint
         "_hyper_switch",
         "_sparsity",
@@ -122,6 +123,7 @@ class Matrix:
         self._host_c = None
         self._dev_coo_c = None
         self._ell_c = None
+        self._diag_c = False
         self._format = config.format
         self._hyper_switch = config.hyper_switch
         self._sparsity = 15  # GxB_AUTO_SPARSITY
@@ -274,6 +276,8 @@ class Matrix:
             m._build(np.asarray(I), np.asarray(I) + k, np.asarray(V))
         else:
             m._build(np.asarray(I) - k, np.asarray(I), np.asarray(V))
+        if k == 0:
+            m._diag_c = True
         return m
 
     @classmethod
@@ -402,6 +406,7 @@ class Matrix:
             value = typ.default_one
         idx = np.arange(nrows, dtype=np.int64)
         result._build(idx, idx, np.full(nrows, typ._coerce(value)))
+        result._diag_c = True
         return result
 
     @classmethod
@@ -453,6 +458,7 @@ class Matrix:
         self._host_c = None
         self._dev_coo_c = None
         self._ell_c = None
+        self._diag_c = False
 
     def _build(self, I, J, V):
         """Bulk-build from COO triples (later duplicates win)."""
@@ -1681,11 +1687,18 @@ class Matrix:
         if self._is_huge:
             from .core import sparse as sk
 
-            rows, cols, vals = self._device_coo()
-            ids = cols if desc.inp0 else rows
-            tv, tm = sk.coo_segment_reduce(
-                ids, vals, mon, np.dtype(out.type._numpy_t), out.size)
-            return out._writeback(out, tv, tm, mask, accum, desc)
+            if out._fits_bitmap(out.size):
+                rows, cols, vals = self._device_coo()
+                ids = cols if desc.inp0 else rows
+                tv, tm = sk.coo_segment_reduce(
+                    ids, vals, mon, np.dtype(out.type._numpy_t), out.size)
+                return out._writeback(out, tv, tm, mask, accum, desc)
+            # huge output vector: sparse-output compact segment reduce
+            r, c, v = self._coo()
+            ids = c if desc.inp0 else r
+            uids, red = sk.coo_segment_reduce_compact(
+                ids, v, mon, np.dtype(out.type._numpy_t))
+            return out._coo_writeback(out, uids, red, mask, accum, desc)
         v, m = self._dense_pair(desc.inp0)
         tv, tm = dk.reduce_axis(v, m, mon, 1)
         return out._writeback(out, tv.astype(out.type._jnp_dtype()), tm,
@@ -1739,12 +1752,63 @@ class Matrix:
             semiring = out.type._default_semiring()
         burble("mxm %s %sx%s @ %sx%s", semiring.name, anrows, ancols,
                bnrows, bncols)
+        # known-diagonal operand: every dot product has a single term, so
+        # mxm collapses to one fused elementwise broadcast (the DNN bias
+        # step Y.mxm(b) with b = Matrix.identity, reference dnn.py:17-19)
+        if not semiring.mul_op.positional:
+            if other._diag_c:
+                return self._mxm_diag(other, semiring, out, mask, accum,
+                                      desc, diag_right=True)
+            if self._diag_c:
+                return other._mxm_diag(self, semiring, out, mask, accum,
+                                       desc, diag_right=False)
         if self._is_huge or other._is_huge or out._is_huge:
             return self._sparse_mxm(other, semiring, out, mask, accum, desc)
         av, am = self._dense_pair(desc.inp0)
         bv, bm = other._dense_pair(desc.inp1)
         tv, tm = dk.mxm(av, am, bv, bm, semiring,
                         np.dtype(semiring.ztype._numpy_t))
+        return self._writeback(out, tv, tm, mask, accum, desc)
+
+    def _mxm_diag(self, diag, semiring, out, mask, accum, desc,
+                  diag_right):
+        """mxm against a known-diagonal operand (self is the data
+        matrix): each dot product has exactly one term, so the add
+        monoid never fires and the product is a fused broadcast of
+        mul() over the data pattern restricted to the diagonal's
+        present entries."""
+        mul = semiring.mul_op
+        transposed = desc.inp0 if diag_right else desc.inp1
+        if self._is_huge or out._is_huge or diag._is_huge:
+            r, c, v = self._coo()
+            if transposed:
+                r, c, v = ck.build(c, r, v, v.dtype)
+            di, _, dvals = diag._coo()
+            key = c if diag_right else r
+            pos = np.searchsorted(di, key)
+            pos_c = np.minimum(pos, max(len(di) - 1, 0))
+            found = (pos < len(di)) & (di[pos_c] == key) if len(di) \
+                else np.zeros(len(key), bool)
+            rv, cv_, vv = r[found], c[found], v[found]
+            dv = dvals[pos_c[found]] if len(di) else dvals[:0]
+            zt = out.type._numpy_t
+            a1, a2 = (vv, dv) if diag_right else (dv, vv)
+            prod = np.asarray(mul.apply(
+                jnp.asarray(a1.astype(zt)), jnp.asarray(a2.astype(zt))))
+            return self._coo_writeback(out, rv, cv_, prod.astype(zt),
+                                       mask, accum, desc)
+        av, am = self._dense_pair(transposed)
+        ddv, ddm = diag._dense_pair()
+        dvec = jnp.diagonal(ddv)
+        dmask = jnp.diagonal(ddm)
+        zt = out.type._jnp_dtype()
+        if diag_right:
+            z = mul.apply(av.astype(zt), dvec[None, :].astype(zt))
+            tm = jnp.logical_and(am, dmask[None, :])
+        else:
+            z = mul.apply(dvec[:, None].astype(zt), av.astype(zt))
+            tm = jnp.logical_and(dmask[:, None], am)
+        tv = jnp.where(tm, z.astype(zt), jnp.zeros((), zt))
         return self._writeback(out, tv, tm, mask, accum, desc)
 
     def _sparse_mxm(self, other, semiring, out, mask, accum, desc):
@@ -1866,8 +1930,26 @@ class Matrix:
         from .core import xspmv as xs
         from .base import config
 
-        xv, xm = other._dense_pair()
         zt = np.dtype(semiring.ztype._numpy_t)
+        if getattr(other, "_fmt", None) == "iso" \
+                and not other._fits_bitmap(other.size):
+            # O(1) iso operand (out_degree at 2^60 etc.): y = row-reduce
+            # of mul(a_ij, c) — no x materialization at any size
+            mul = semiring.mul_op
+            if mul.positional:
+                raise InsufficientSpace(
+                    "positional mul against huge iso vectors TBD")
+            r, c, v = self._coo()
+            ids = c if transpose else r
+            prod = np.asarray(mul.apply(
+                jnp.asarray(v.astype(zt)),
+                jnp.asarray(np.full(len(v), other._iso_v, zt))))
+            uids, red = sk.coo_segment_reduce_compact(
+                ids, prod, semiring.add_monoid, zt)
+            return out._coo_writeback(out, uids,
+                                      red.astype(out.type._numpy_t),
+                                      mask, accum, desc)
+        xv, xm = other._dense_pair()
         xkey = ("x", bool(transpose), zt.str)
         use_x = (config.spmv_engine != "csr8"
                  and other.nvals == other.size
@@ -2304,18 +2386,18 @@ class Matrix:
         if self._is_huge:
             return self._assign_scalar_sparse(value, iset_r, iset_c, mask,
                                               accum, desc)
-        I = np.asarray(iset_r.indices(self.nrows), np.int64)
-        J = np.asarray(iset_c.indices(self.ncols), np.int64)
         self._flush()
         v, m = self._dense_pair()
+        if iset_r.kind == "all" and iset_c.kind == "all":
+            tv = jnp.full(self.shape, self.type._coerce(value), v.dtype)
+            tm = jnp.ones(self.shape, jnp.bool_)
+            self._writeback(self, tv, tm, mask, accum, desc)
+            return
+        I = np.asarray(iset_r.indices(self.nrows), np.int64)
+        J = np.asarray(iset_c.indices(self.ncols), np.int64)
         tv = jnp.full((len(I), len(J)), self.type._coerce(value),
                       v.dtype)
         tm = jnp.ones((len(I), len(J)), jnp.bool_)
-        if (len(I), len(J)) == self.shape and \
-                np.array_equal(I, np.arange(self.nrows)) and \
-                np.array_equal(J, np.arange(self.ncols)):
-            self._writeback(self, tv, tm, mask, accum, desc)
-            return
         sub_v = v[jnp.asarray(I)][:, jnp.asarray(J)]
         sub_m = m[jnp.asarray(I)][:, jnp.asarray(J)]
         nv, nm = dk.writeback(sub_v, sub_m, tv, tm,

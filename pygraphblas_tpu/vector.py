@@ -68,6 +68,7 @@ class Vector:
         "_mask",
         "_idx_h",
         "_vals_h",
+        "_iso_v",       # iso format: the single repeated value
         "_pending",
         "_nvals_c",
         "_host_c",
@@ -79,10 +80,14 @@ class Vector:
         self._pending = []
         self._nvals_c = None
         self._host_c = None
+        self._iso_v = None
         if fmt is None:
             fmt = "bitmap" if self._fits_bitmap(size) else "coo"
         self._fmt = fmt
-        if fmt == "bitmap":
+        if fmt == "iso":
+            self._vals = self._mask = None
+            self._idx_h = self._vals_h = None
+        elif fmt == "bitmap":
             self._vals = jnp.zeros((self._size,), typ._jnp_dtype())
             self._mask = jnp.zeros((self._size,), jnp.bool_)
             self._idx_h = self._vals_h = None
@@ -145,13 +150,20 @@ class Vector:
 
     @classmethod
     def iso(cls, value, size=GxB_INDEX_MAX):
-        """Dense Vector of one repeated value; type inferred.
+        """Dense Vector of one repeated value; type inferred.  Sizes past
+        the dense budget store the value once (O(1), like SuiteSparse
+        iso-full, reference matrix.py:233-266) — usable as an mxv/vxm
+        operand, in reductions, and for element reads at any size.
 
         >>> print(Vector.iso(3, 2))
         0| 3
         1| 3
         """
         typ = _type_from_value(value)
+        if not cls._fits_bitmap(size):
+            v = cls(typ, size, fmt="iso")
+            v._iso_v = typ._coerce(value)
+            return v
         return cls.dense(typ, size, fill=value)
 
     @classmethod
@@ -274,6 +286,13 @@ class Vector:
 
     def _dense_pair(self, transpose=False):
         self._flush()
+        if self._fmt == "iso":
+            if not self._fits_bitmap(self._size):
+                raise InsufficientSpace(
+                    "iso vector too large to materialize")
+            return (jnp.full((self._size,), self._iso_v,
+                             self.type._jnp_dtype()),
+                    jnp.ones((self._size,), jnp.bool_))
         if self._fmt == "bitmap":
             return self._vals, self._mask
         if not self._fits_bitmap(self._size):
@@ -301,6 +320,12 @@ class Vector:
 
     def _coo(self):
         self._flush()
+        if self._fmt == "iso":
+            if self._size > (1 << 27):
+                raise InsufficientSpace(
+                    "iso vector too large to enumerate")
+            return (np.arange(self._size, dtype=np.int64),
+                    np.full(self._size, self._iso_v, self.type._numpy_t))
         if self._fmt == "coo":
             return self._idx_h, self._vals_h
         v, m = self._host_pair()
@@ -355,6 +380,55 @@ class Vector:
         from .core import coosem as cs
 
         return cs.mask_pairs(mi, np.zeros_like(mi), mv, desc.structural)
+
+    _SCALAR_FILL_BUDGET = 1 << 27
+
+    def _assign_scalar_sparse(self, value, iset, mask, accum, desc):
+        """Scalar assign on a huge vector: masked full fills take the
+        mask's pattern; bounded regions materialize."""
+        from .core import coosem as cs
+        from .matrix import Matrix as _M
+
+        self._flush()
+        val = self.type._coerce(value)
+        if iset.kind == "all" and mask is not None \
+                and not desc.complement:
+            mpi, _ = self._mask_pair_set(mask, desc)
+            tv = np.full(len(mpi), val, self.type._numpy_t)
+            self._coo_writeback(self, mpi, tv, mask, accum, desc)
+            return
+        if iset.size > self._SCALAR_FILL_BUDGET:
+            raise InsufficientSpace(
+                "unbounded scalar fill on a huge vector requires a mask")
+        I = np.arange(iset.size, dtype=np.int64)
+        tv = np.full(iset.size, val, self.type._numpy_t)
+        ci, cv = self._coo()
+        mpi, _ = self._mask_pair_set(mask, desc)
+        accum_fn = _M._np_binop(accum) if accum is not None else None
+        z = np.zeros_like
+        nr, _, nv = cs.assign_region(
+            ci, z(ci), cv, I, z(I), tv,
+            cs.selector(iset, self._size), cs.ArithSelector(0, 1, 1),
+            mpi, z(mpi) if mpi is not None else None,
+            accum_fn, desc.complement, desc.replace, self.type._numpy_t)
+        self._set_coo(nr, nv)
+
+    def _ewise_huge(self, other, op, out, mask, accum, desc, union):
+        """Element-wise union/intersection on huge vectors (host
+        sorted-merge), full mask/accum semantics."""
+        ia, va = self._coo()
+        ib, vb = other._coo()
+        dt = out.type._numpy_t
+
+        def fn(x, y):
+            if op.ztype_rule != "BOOL":
+                x = x.astype(dt)
+                y = y.astype(dt)
+            return np.asarray(op.apply(jnp.asarray(x), jnp.asarray(y)))
+
+        r, _, v = ck.ewise(ia, np.zeros_like(ia), va, ib,
+                           np.zeros_like(ib), vb, fn, dt, union=union)
+        return self._coo_writeback(out, r, v, mask, accum, desc)
 
     def _coo_writeback(self, out, ti, tv, mask, accum, desc):
         """w<m> (accum)= t with t as canonical (idx, vals) arrays.
@@ -418,7 +492,9 @@ class Vector:
         """
         self._flush()
         if self._nvals_c is None:
-            if self._fmt == "coo":
+            if self._fmt == "iso":
+                self._nvals_c = self._size
+            elif self._fmt == "coo":
                 self._nvals_c = int(self._idx_h.size)
             else:
                 self._nvals_c = int(jnp.sum(self._mask))
@@ -611,6 +687,8 @@ class Vector:
         if not 0 <= index < self._size:
             raise InvalidIndex("index out of bounds")
         self._flush()
+        if self._fmt == "iso":
+            return self.type._to_value(self._iso_v)
         if self._fmt == "coo":
             pos = ck.find(self._idx_h, np.zeros_like(self._idx_h), index, 0)
             if pos < 0:
@@ -748,10 +826,13 @@ class Vector:
             out = Vector.sparse(typ, self.size)
         if add_op is None:
             add_op = out.type._default_addop()
+        if self.size != other.size:
+            raise DimensionMismatch("eadd size mismatch")
+        if not self._fits_bitmap(self.size):
+            return self._ewise_huge(other, add_op, out, mask, accum, desc,
+                                    union=True)
         av, am = self._dense_pair()
         bv, bm = other._dense_pair()
-        if av.shape != bv.shape:
-            raise DimensionMismatch("eadd size mismatch")
         tv, tm = dk.eadd(av, am, bv, bm, add_op, out.type._jnp_dtype())
         return self._writeback(out, tv, tm, mask, accum, desc)
 
@@ -775,10 +856,13 @@ class Vector:
             out = Vector.sparse(typ, self.size)
         if mult_op is None:
             mult_op = out.type._default_multop()
+        if self.size != other.size:
+            raise DimensionMismatch("emult size mismatch")
+        if not self._fits_bitmap(self.size):
+            return self._ewise_huge(other, mult_op, out, mask, accum,
+                                    desc, union=False)
         av, am = self._dense_pair()
         bv, bm = other._dense_pair()
-        if av.shape != bv.shape:
-            raise DimensionMismatch("emult size mismatch")
         ztype = mult_op.ztype(self.type)
         tv, tm = dk.emult(av, am, bv, bm, mult_op, ztype._jnp_dtype())
         return self._writeback(out, tv, tm, mask, accum, desc)
@@ -828,6 +912,16 @@ class Vector:
         ztype = op.ztype(self.type)
         if out is None:
             out = Vector.sparse(ztype, self.size)
+        if not self._fits_bitmap(self.size):
+            i, v = self._coo()
+            if op.positional:
+                pos = dict(i=jnp.asarray(i), j=jnp.asarray(i))
+                nv = op.apply(None, pos)
+            else:
+                nv = op.apply(jnp.asarray(v))
+            return self._coo_writeback(
+                out, i, np.asarray(nv).astype(out.type._numpy_t),
+                mask, accum, desc)
         v, m = self._dense_pair()
         tv, tm = dk.apply_unary(v, m, op, ztype._jnp_dtype())
         return self._writeback(out, tv, tm, mask, accum, desc)
@@ -846,6 +940,9 @@ class Vector:
         ztype = op.ztype(self.type)
         if out is None:
             out = Vector.sparse(ztype, self.size)
+        if not self._fits_bitmap(self.size):
+            return self._apply_bound_sparse(op, first, True, out, mask,
+                                            accum, desc)
         v, m = self._dense_pair()
         tv, tm = dk.apply_binary_bound(v, m, self.type._coerce(first), op,
                                        ztype._jnp_dtype(), True)
@@ -865,10 +962,30 @@ class Vector:
         ztype = op.ztype(self.type)
         if out is None:
             out = Vector.sparse(ztype, self.size)
+        if not self._fits_bitmap(self.size):
+            return self._apply_bound_sparse(op, second, False, out, mask,
+                                            accum, desc)
         v, m = self._dense_pair()
         tv, tm = dk.apply_binary_bound(v, m, self.type._coerce(second), op,
                                        ztype._jnp_dtype(), False)
         return self._writeback(out, tv, tm, mask, accum, desc)
+
+    def _apply_bound_sparse(self, op, scalar, bind_first, out, mask,
+                            accum, desc):
+        i, v = self._coo()
+        sc = jnp.asarray(self.type._coerce(scalar))
+        vj = jnp.asarray(v)
+        if op.positional:
+            pos = dict(i0=jnp.asarray(i), j0=jnp.asarray(i),
+                       i1=jnp.asarray(i), j1=jnp.asarray(i))
+            z = op.apply(vj, vj, pos)
+        elif bind_first:
+            z = op.apply(sc.astype(vj.dtype), vj)
+        else:
+            z = op.apply(vj, sc.astype(vj.dtype))
+        return self._coo_writeback(
+            out, i, np.asarray(z).astype(out.type._numpy_t),
+            mask, accum, desc)
 
     def select(self, op, thunk=None, out=None, mask=None, accum=None,
                desc=None):
@@ -899,6 +1016,14 @@ class Vector:
         if thunk is None:
             thunk = DEFAULT_THUNKS.get(op.name) or 0
         mask, accum, desc = self._get_args(mask, accum, desc)
+        if not self._fits_bitmap(self.size):
+            i, v = self._coo()
+            keep = np.asarray(op.apply(jnp.asarray(i), jnp.asarray(i),
+                                       jnp.asarray(v),
+                                       self.type._coerce(thunk)))
+            return self._coo_writeback(
+                out, i[keep], v[keep].astype(out.type._numpy_t),
+                mask, accum, desc)
         v, m = self._dense_pair()
         tv, tm = dk.select(v, m, self.type._coerce(thunk), op)
         return self._writeback(out, tv, tm, mask, accum, desc)
@@ -913,6 +1038,19 @@ class Vector:
     # reductions
     # ------------------------------------------------------------------
 
+
+    def _reduce_pair(self):
+        """(vals, mask) arrays for scalar reductions: the dense pair, or
+        the COO value vector for huge vectors (every stored value
+        present)."""
+        if not self._fits_bitmap(self._size):
+            _, v = self._coo()
+            if v.size:
+                return jnp.asarray(v), jnp.ones((v.size,), jnp.bool_)
+            return (jnp.zeros((1,), self.type._jnp_dtype()),
+                    jnp.zeros((1,), jnp.bool_))
+        return self._dense_pair()
+
     def reduce(self, mon=None, accum=None, desc=None):
         """Type-generic reduce to a scalar of this vector's type.
 
@@ -925,7 +1063,7 @@ class Vector:
                 mon = getattr(self.type,
                               self.type._default_addop().op + "_MONOID")
         _, accum, desc = self._get_args(None, accum, desc)
-        v, m = self._dense_pair()
+        v, m = self._reduce_pair()
         from .matrix import _reduce_accum
         r = np.asarray(dk.reduce_all(v, m, mon)).astype(self.type._numpy_t)
         return self.type._to_value(
@@ -942,7 +1080,7 @@ class Vector:
             mon = current_monoid.get(None) or types.BOOL.LOR_MONOID
         _, accum, desc = self._get_args(None, accum, desc)
         from .matrix import _reduce_accum
-        v, m = self._dense_pair()
+        v, m = self._reduce_pair()
         r = dk.reduce_all(
             v if v.dtype == jnp.bool_ else v.astype(jnp.bool_), m, mon)
         return bool(_reduce_accum(accum, r, np.bool_))
@@ -957,7 +1095,7 @@ class Vector:
             mon = current_monoid.get(None) or types.INT64.PLUS_MONOID
         _, accum, desc = self._get_args(None, accum, desc)
         from .matrix import _reduce_accum
-        v, m = self._dense_pair()
+        v, m = self._reduce_pair()
         r = dk.reduce_all(v.astype(jnp.int64), m, mon)
         return int(_reduce_accum(accum, r, np.int64))
 
@@ -971,7 +1109,7 @@ class Vector:
             mon = current_monoid.get(None) or self.type.PLUS_MONOID
         _, accum, desc = self._get_args(None, accum, desc)
         from .matrix import _reduce_accum
-        v, m = self._dense_pair()
+        v, m = self._reduce_pair()
         r = dk.reduce_all(v.astype(jnp.float64), m, mon)
         return float(_reduce_accum(accum, r, np.float64))
 
@@ -1232,9 +1370,34 @@ class Vector:
         mask, accum, desc = self._get_args(mask, accum, desc)
         iset = _build_range(index if not _is_int(index)
                             else slice(index, index), self._size - 1)
-        I = np.asarray(iset.indices(self._size), np.int64)
-        if len(I) != value.size:
+        if iset.size is None:
+            iset.size = self._size
+        if iset.size != value.size:
             raise DimensionMismatch("assign length mismatch")
+        if not self._fits_bitmap(self._size):
+            from .core import coosem as cs
+            from .matrix import Matrix as _M
+
+            self._flush()
+            ti, tv = value._coo()
+            if iset.kind == "all" and iset.size == self._size:
+                self._coo_writeback(self, ti,
+                                    tv.astype(self.type._numpy_t),
+                                    mask, accum, desc)
+                return
+            ci, cv = self._coo()
+            mpi, _ = self._mask_pair_set(mask, desc)
+            accum_fn = _M._np_binop(accum) if accum is not None else None
+            z = np.zeros_like
+            nr, _, nv = cs.assign_region(
+                ci, z(ci), cv, ti, z(ti), tv.astype(self.type._numpy_t),
+                cs.selector(iset, self._size), cs.ArithSelector(0, 1, 1),
+                mpi, z(mpi) if mpi is not None else None,
+                accum_fn, desc.complement, desc.replace,
+                self.type._numpy_t)
+            self._set_coo(nr, nv)
+            return
+        I = np.asarray(iset.indices(self._size), np.int64)
         self._flush()
         xv, xm = value._dense_pair()
         if len(I) == self._size and np.array_equal(I, np.arange(self._size)):
@@ -1269,14 +1432,21 @@ class Vector:
         mask, accum, desc = self._get_args(mask, accum, desc)
         iset = _build_range(index if not _is_int(index)
                             else slice(index, index), self._size - 1)
-        I = np.asarray(iset.indices(self._size), np.int64)
+        if iset.size is None:
+            iset.size = self._size
+        if not self._fits_bitmap(self._size):
+            return self._assign_scalar_sparse(value, iset, mask, accum,
+                                              desc)
         self._flush()
         v, m = self._dense_pair()
-        tv = jnp.full((len(I),), self.type._coerce(value), v.dtype)
-        tm = jnp.ones((len(I),), jnp.bool_)
-        if len(I) == self._size and np.array_equal(I, np.arange(self._size)):
+        if iset.kind == "all":
+            tv = jnp.full((self._size,), self.type._coerce(value), v.dtype)
+            tm = jnp.ones((self._size,), jnp.bool_)
             self._writeback(self, tv, tm, mask, accum, desc)
             return
+        I = np.asarray(iset.indices(self._size), np.int64)
+        tv = jnp.full((len(I),), self.type._coerce(value), v.dtype)
+        tm = jnp.ones((len(I),), jnp.bool_)
         idx = jnp.asarray(I)
         sub_v, sub_m = v[idx], m[idx]
         mv, mm = (None, None)

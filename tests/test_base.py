@@ -22,7 +22,7 @@ def test_options_roundtrip():
 def test_build_range_all():
     r = _build_range(None, 9)
     assert r.kind == IndexSet.ALL
-    assert r.indices(4) == [0, 1, 2, 3]
+    assert list(r.indices(4)) == [0, 1, 2, 3]
     r = _build_range(slice(None, None, None), 9)
     assert r.kind == IndexSet.ALL
 
@@ -31,7 +31,7 @@ def test_build_range_list():
     r = _build_range([3, 1, 4], 9)
     assert r.kind == IndexSet.LIST
     assert r.size == 3
-    assert r.indices(10) == [3, 1, 4]
+    assert list(r.indices(10)) == [3, 1, 4]
 
 
 def test_build_range_inclusive_stop():
@@ -39,25 +39,25 @@ def test_build_range_inclusive_stop():
     r = _build_range(slice(1, 3), 9)
     assert r.kind == IndexSet.RANGE
     assert r.size == 3
-    assert r.indices(10) == [1, 2, 3]
+    assert list(r.indices(10)) == [1, 2, 3]
 
 
 def test_build_range_stride():
     r = _build_range(slice(0, 6, 2), 9)
     assert r.kind == IndexSet.STRIDE
-    assert r.indices(10) == [0, 2, 4, 6]
+    assert list(r.indices(10)) == [0, 2, 4, 6]
     assert r.size == 4
 
 
 def test_build_range_backwards():
     r = _build_range(slice(6, 0, -2), 9)
     assert r.kind == IndexSet.BACKWARDS
-    assert r.indices(10) == [6, 4, 2, 0]
+    assert list(r.indices(10)) == [6, 4, 2, 0]
     assert r.size == 4
 
 
 def test_build_range_defaults():
     r = _build_range(slice(2, None), 9)
-    assert r.indices(10) == list(range(2, 10))
+    assert list(r.indices(10)) == list(range(2, 10))
     r = _build_range(slice(None, 2), 9)
-    assert r.indices(10) == [0, 1, 2]
+    assert list(r.indices(10)) == [0, 1, 2]
