@@ -49,20 +49,39 @@ def coo_segment_reduce(ids, vals, monoid, out_dtype, out_size):
     return y, y_mask
 
 
+def _next_pow2(x):
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
 def coo_segment_reduce_compact(ids_host, vals_host, monoid, out_dtype):
     """Sparse-output segment reduce: monoid-reduce values by arbitrary
     (up to 2^60) ids.  The id space is compacted on the host so the
     device reduction runs over #distinct segments, and the result comes
-    back as (unique_ids, values) — every segment is present."""
+    back as (unique_ids, values) — every segment is present.
+
+    Inputs are padded to power-of-two shapes (pad entries route to a
+    scratch segment) so repeated calls with drifting sizes — BFS levels,
+    frontier sweeps — reuse compiled executables instead of re-jitting
+    every call."""
     out_dtype = np.dtype(out_dtype)
     uids, inv = np.unique(ids_host, return_inverse=True)
-    if len(uids) == 0:
+    nseg = len(uids)
+    if nseg == 0:
         return uids, np.empty(0, out_dtype)
-    tv, _ = coo_segment_reduce(jnp.asarray(inv.astype(np.int32)
-                                           if len(uids) < 2**31 else inv),
-                               jnp.asarray(vals_host), monoid,
-                               out_dtype.str, len(uids))
-    return uids, np.asarray(tv).astype(out_dtype)
+    n = len(inv)
+    np2 = _next_pow2(n)
+    ns2 = _next_pow2(nseg + 1)
+    idt = np.int32 if ns2 < 2**31 else np.int64
+    inv_p = np.full(np2, ns2 - 1, idt)
+    inv_p[:n] = inv
+    vals_p = np.zeros(np2, np.asarray(vals_host).dtype)
+    vals_p[:n] = vals_host
+    tv, _ = coo_segment_reduce(jnp.asarray(inv_p), jnp.asarray(vals_p),
+                               monoid, out_dtype.str, ns2)
+    return uids, np.asarray(tv)[:nseg].astype(out_dtype)
 
 
 @partial(jax.jit, static_argnames=("semiring", "out_dtype", "out_size"))

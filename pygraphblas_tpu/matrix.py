@@ -1931,6 +1931,21 @@ class Matrix:
         from .base import config
 
         zt = np.dtype(semiring.ztype._numpy_t)
+        # push/pull heuristic: a sparse frontier (stored COO, or dense
+        # with few present entries) takes the SpMSpV engine — per-call
+        # work O(frontier edges) instead of O(n + nnz)
+        x_sparse = (getattr(other, "_fmt", None) == "coo"
+                    or (getattr(other, "_fmt", None) == "bitmap"
+                        and other.nvals * 64 < other.size))
+        if x_sparse:
+            fi, fx = other._coo()
+            u, s, d, oids, vals = self._host_csr(not transpose)
+            from .core.spmspv import spmspv
+
+            uids, red = spmspv(u, s, d, oids, vals, fi, fx, semiring, zt)
+            return out._coo_writeback(out, uids,
+                                      red.astype(out.type._numpy_t),
+                                      mask, accum, desc)
         if getattr(other, "_fmt", None) == "iso" \
                 and not other._fits_bitmap(other.size):
             # O(1) iso operand (out_degree at 2^60 etc.): y = row-reduce
@@ -1968,6 +1983,25 @@ class Matrix:
             tv, tm = sk.coo_spmv(ids_out, ids_in, vals, xv, xm, semiring,
                                  zt, out.size)
         return out._writeback(out, tv, tm, mask, accum, desc)
+
+    def _host_csr(self, in_is_col):
+        """Host CSR-style segments over the SpMV in-dimension: returns
+        (unique in-ids, starts, degrees, out-ids, vals) with edges
+        sorted by in-id.  Cached per orientation (SpMSpV engine)."""
+        self._flush()
+        if self._ell_c is None:
+            self._ell_c = {}
+        key = ("hcsr", bool(in_is_col))
+        if key not in self._ell_c:
+            r, c, v = self._coo()
+            if in_is_col:
+                ins, outs, vv = ck.build(c, r, v, v.dtype)
+            else:
+                ins, outs, vv = r, c, v
+            u, s, d = np.unique(ins, return_index=True,
+                                return_counts=True)
+            self._ell_c[key] = (u, s, d, outs, vv)
+        return self._ell_c[key]
 
     def _device_coo(self):
         """Device copies of the canonical COO triples (cached; int32

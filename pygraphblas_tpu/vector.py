@@ -444,13 +444,23 @@ class Vector:
             raise DimensionMismatch("mask size does not match output")
         if out._fits_bitmap(out.size):
             dt = out.type._jnp_dtype()
-            idx = jnp.asarray(np.asarray(ti, np.int64))
             tvd = jnp.zeros((out.size,), dt)
             tmd = jnp.zeros((out.size,), jnp.bool_)
             if len(ti):
-                tvd = tvd.at[idx].set(
-                    jnp.asarray(np.asarray(tv).astype(out.type._numpy_t)))
-                tmd = tmd.at[idx].set(True)
+                # pad to pow2 so drifting frontier sizes reuse compiled
+                # scatters; pad indices are out of bounds -> dropped
+                n = len(ti)
+                np2 = 1
+                while np2 < n:
+                    np2 *= 2
+                idx_p = np.full(np2, out.size, np.int64)
+                idx_p[:n] = np.asarray(ti, np.int64)
+                val_p = np.zeros(np2, out.type._numpy_t)
+                val_p[:n] = np.asarray(tv).astype(out.type._numpy_t)
+                idx = jnp.asarray(idx_p)
+                tvd = tvd.at[idx].set(jnp.asarray(val_p),
+                                      mode="drop")
+                tmd = tmd.at[idx].set(True, mode="drop")
             return self._writeback(out, tvd, tmd, mask, accum, desc)
         mpi, _ = self._mask_pair_set(mask, desc)
         ci, cv = out._coo()

@@ -161,3 +161,76 @@ def test_louvain_two_blocks():
     c1 = Counter(lv[30:].tolist()).most_common(1)[0]
     assert c0[1] >= 27 and c1[1] >= 27
     assert c0[0] != c1[0]
+
+
+def test_bfs_push_matches_vxm():
+    """Direction-optimized BFS == the reference masked-vxm loop, on a
+    high-diameter (road-like) grid graph forced onto the sparse tier."""
+    import numpy as np
+    from pygraphblas_tpu.algorithms import (bfs_level, bfs_level_vxm,
+                                            bfs_parents, bfs_parents_vxm)
+
+    from pygraphblas_tpu.base import config
+
+    k = 60  # k x k grid, diameter 2k-2
+    n = k * k
+    ii, jj = [], []
+    for r in range(k):
+        for c in range(k):
+            u = r * k + c
+            if c + 1 < k:
+                ii += [u, u + 1]; jj += [u + 1, u]
+            if r + 1 < k:
+                ii += [u, u + k]; jj += [u + k, u]
+    A = Matrix.sparse(types.BOOL, n, n)
+    A._build(np.asarray(ii, np.int64), np.asarray(jj, np.int64),
+             np.ones(len(ii), np.bool_))
+    lv_push = bfs_level(A, 0)
+    # run the vxm loop on the sparse tier (per-level SpMSpV, like a
+    # road-graph deployment); dense-tier equivalence is covered by the
+    # karate tests
+    old = config.bitmap_max_cells
+    config.bitmap_max_cells = 1
+    try:
+        lv_vxm = bfs_level_vxm(A, 0)
+    finally:
+        config.bitmap_max_cells = old
+    assert lv_push.iseq(lv_vxm)
+    pi_push = bfs_parents(A, 0)
+    pi_vxm = bfs_parents_vxm(A, 0)
+    # parents may differ (ANY semantics); levels implied must agree
+    lp = np.asarray(lv_push.npV)
+    pp = dict(zip(pi_push.npI.astype(int), pi_push.npV.astype(int)))
+    for v, p in pp.items():
+        if v != 0:
+            assert lv_push[p] == lv_push[v] - 1, (v, p)
+    assert pi_push.nvals == pi_vxm.nvals
+
+
+def test_spmspv_engine_matches_dense():
+    """vxm with a sparse-stored frontier (SpMSpV path) == dense engine."""
+    import numpy as np
+    from pygraphblas_tpu.base import config
+
+    N = 10_000
+    rng = np.random.RandomState(3)
+    r = rng.randint(0, N, 60_000).astype(np.int64)
+    c = rng.randint(0, N, 60_000).astype(np.int64)
+    v = rng.rand(60_000)
+    A = Matrix.sparse(types.FP64, N, N)
+    A._build(r, c, v)
+    x = Vector.sparse(types.FP64, N)
+    idx = rng.choice(N, 50, replace=False).astype(np.int64)
+    for i in idx:
+        x[i] = float(rng.rand())
+    y_dense = x.vxm(A)  # dense path? frontier is sparse -> SpMSpV fires
+    # oracle via scipy
+    from scipy import sparse as sp
+
+    S = sp.coo_matrix((v, (r, c)), shape=(N, N)).tocsr()
+    xd = np.zeros(N)
+    xi, xv = x._coo()
+    xd[xi] = xv
+    want = xd @ S
+    got = y_dense.to_numpy()
+    assert np.allclose(got, want)
