@@ -297,13 +297,22 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
     maxcol = max(int(a_cols.max()) if len(a_cols) else 0,
                  int(bt_cols.max()) if len(bt_cols) else 0)
     narrow = maxcol < (1 << 29)
-    a_cols_d = jnp.asarray(a_cols if len(a_cols) else np.zeros(1, np.int64))
-    a_vals_d = jnp.asarray(a_vals if len(a_vals) else
-                           np.zeros(1, out_dtype))
-    b_cols_d = jnp.asarray(bt_cols if len(bt_cols) else
-                           np.zeros(1, np.int64))
-    b_vals_d = jnp.asarray(bt_vals if len(bt_vals) else
-                           np.zeros(1, out_dtype))
+
+    def _pow2_pad(arr, dtype):
+        # pow2-padded device arrays: iterative algorithms (k-truss)
+        # shrink nnz every pass; fixed shape buckets reuse executables
+        n = max(1, len(arr))
+        p2 = 1
+        while p2 < n:
+            p2 *= 2
+        out = np.zeros(p2, dtype)
+        out[:len(arr)] = arr
+        return jnp.asarray(out)
+
+    a_cols_d = _pow2_pad(a_cols, np.int64)
+    a_vals_d = _pow2_pad(a_vals, out_dtype)
+    b_cols_d = _pow2_pad(bt_cols, np.int64)
+    b_vals_d = _pow2_pad(bt_vals, out_dtype)
 
     mul0 = semiring.mul_op
     add0 = semiring.add_monoid.binaryop
@@ -328,6 +337,12 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
         a_cols2 = _as2d(a_cols if len(a_cols) else np.zeros(1, np.int64))
         b_cols2 = _as2d(bt_cols if len(bt_cols) else np.zeros(1, np.int64))
 
+    def _pow2_len(n, quantum):
+        p2 = quantum
+        while p2 < n:
+            p2 *= 2
+        return p2
+
     for w in sorted(set(widths[light].tolist())):
         sel = np.nonzero(light & (widths == w))[0]
         if pair_fast and w >= 128:  # kernel fills whole 128-lane windows
@@ -335,7 +350,7 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
             step = min(32768, max(8, (1 << 21) // int(w)) * 8)
             for lo in range(0, len(sel), step):
                 ss = sel[lo:lo + step]
-                e_pad = -(-len(ss) // 8) * 8
+                e_pad = _pow2_len(len(ss), 8)
 
                 def _padded(arr):
                     out = np.zeros(e_pad, np.int32)
@@ -356,16 +371,28 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
                     out_vals[ss] = (cnt_h > 0).astype(out_dtype)
                 out_cnt[ss] = cnt_h
             continue
+        e_p2 = _pow2_len(len(sel), 8)
+
+        def _pad32(arr, fill=0):
+            o = np.full(e_p2, fill, np.int32)
+            o[:len(sel)] = arr
+            return jnp.asarray(o)
+
+        def _pad64(arr):
+            o = np.zeros(e_p2, np.int64)
+            o[:len(sel)] = arr
+            return jnp.asarray(o)
+
         c, cnt = _bucket_build_intersect(
             a_cols_d, a_vals_d, b_cols_d, b_vals_d,
-            jnp.asarray(a_st[sel].astype(np.int32)),
-            jnp.asarray(wa[sel].astype(np.int32)),
-            jnp.asarray(b_st[sel].astype(np.int32)),
-            jnp.asarray(wb[sel].astype(np.int32)),
-            jnp.asarray(m_rows[sel]), jnp.asarray(m_cols[sel]),
+            _pad32(a_st[sel].astype(np.int32)),
+            _pad32(wa[sel].astype(np.int32)),
+            _pad32(b_st[sel].astype(np.int32)),
+            _pad32(wb[sel].astype(np.int32)),
+            _pad64(m_rows[sel]), _pad64(m_cols[sel]),
             semiring, out_dtype, int(w), bool(narrow))
-        out_vals[sel] = np.asarray(c)
-        out_cnt[sel] = np.asarray(cnt)
+        out_vals[sel] = np.asarray(c)[:len(sel)]
+        out_cnt[sel] = np.asarray(cnt)[:len(sel)]
 
     present = out_cnt > 0
     return (m_rows[present], m_cols[present], out_vals[present])
