@@ -2651,6 +2651,19 @@ class Matrix:
     # graph helpers
     # ------------------------------------------------------------------
 
+    def shard(self, mesh):
+        """Shard this matrix over a ``jax.sharding.Mesh`` with axes
+        ("i", "j"); returns a :class:`~.parallel.dist.DistMatrix` whose
+        mxv/pagerank/triangle_count run under shard_map with XLA
+        collectives over the mesh (the distribution tier, SURVEY §2.3).
+
+        Multi-chip TPU execution uses exactly this path; the CPU
+        test harness validates it on a virtual 8-device mesh.
+        """
+        from .parallel.dist import DistMatrix
+
+        return DistMatrix(self, mesh)
+
     def out_degree(self, typ=types.UINT64, out=None):
         """UINT64 vector of out-degrees.
 

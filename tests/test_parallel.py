@@ -61,3 +61,56 @@ def test_dist_pagerank_matches_networkx():
     expect = nx.pagerank(G, alpha=0.85, tol=1e-10, weight=None)
     for node, val in expect.items():
         assert abs(r[node] - val) < 1e-3
+
+
+def test_matrix_shard_mxv_and_tc():
+    """Matrix.shard(mesh): distributed mxv and triangle count match the
+    single-device engine (VERDICT r1 next-round #5)."""
+    import numpy as np
+    import networkx as nx
+    from pygraphblas_tpu import Matrix, types
+    from pygraphblas_tpu.parallel.dist import make_mesh
+
+    G = nx.gnm_random_graph(400, 3000, seed=7)
+    rows, cols = [], []
+    for u, v in G.edges():
+        rows += [u, v]
+        cols += [v, u]
+    A = Matrix.sparse(types.FP32, 400, 400)
+    A._build(np.asarray(rows, np.int64), np.asarray(cols, np.int64),
+             np.ones(len(rows), np.float32))
+    D = A.shard(make_mesh(8))
+    x = np.random.RandomState(0).rand(400).astype(np.float32)
+    y_dist = D.mxv(x, semiring=types.FP32.PLUS_TIMES).to_numpy()
+    from scipy import sparse as sp
+
+    S = sp.coo_matrix((np.ones(len(rows)), (rows, cols)),
+                      shape=(400, 400)).tocsr()
+    assert np.allclose(y_dist, S @ x, rtol=1e-5)
+    # a non-PLUS algebra through the generalized collective table
+    y_min = D.mxv(x, semiring=types.FP32.MIN_TIMES).to_numpy()
+    want = np.full(400, np.inf)
+    for u, v in zip(rows, cols):
+        want[u] = min(want[u], x[v])
+    present = np.asarray(S.sum(axis=1)).ravel() > 0
+    assert np.allclose(y_min[present], want[present], rtol=1e-5)
+    # distributed triangle count
+    assert D.triangle_count() == sum(nx.triangles(G).values()) // 3
+
+
+def test_matrix_shard_pagerank():
+    import numpy as np
+    import networkx as nx
+    from pygraphblas_tpu import Matrix, types
+    from pygraphblas_tpu.algorithms import pagerank
+    from pygraphblas_tpu.parallel.dist import make_mesh
+
+    G = nx.gnm_random_graph(300, 2500, seed=9, directed=True)
+    rows = [u for u, v in G.edges()]
+    cols = [v for u, v in G.edges()]
+    A = Matrix.sparse(types.FP32, 300, 300)
+    A._build(np.asarray(rows, np.int64), np.asarray(cols, np.int64),
+             np.ones(len(rows), np.float32))
+    r_dist = A.shard(make_mesh(8)).pagerank(tol=1e-8).to_numpy()
+    r_single = pagerank(A, tol=1e-8).to_numpy()
+    assert np.allclose(r_dist, r_single, atol=1e-4)
