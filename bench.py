@@ -54,12 +54,90 @@ def main():
     timed()  # compile + transfer warmup
     elapsed = min(timed() for _ in range(3))
     nnz_per_s = nnz * iters / elapsed
+
+    extras = {}
+    if os.environ.get("BENCH_EXTRAS", "1") == "1":
+        extras = bench_extras()
+
     print(json.dumps({
         "metric": f"pagerank_spmv_kron_s{scale}_ef{edgefactor}",
         "value": nnz_per_s,
         "unit": "nnz/s",
         "vs_baseline": 1.0,
+        "extras": extras,
     }))
+
+
+def bench_extras():
+    """Secondary BASELINE configs: fused BFS (config[1]), triangle
+    counting at kron-16 (config[2]), batched BC (config[3])."""
+    import jax.numpy as jnp
+    import time as _t
+
+    from pygraphblas_tpu import types, fused
+    from pygraphblas_tpu.algorithms import triangle_count, bfs_level
+    from pygraphblas_tpu.generators import rmat_edges, to_matrix
+
+    out = {}
+
+    # --- fused BFS at kron-18 (low diameter, dense-frontier loop) ----
+    scale = int(os.environ.get("BENCH_BFS_SCALE", "18"))
+    cache = f"/tmp/pygb_bench_kron_s{scale}_ef16.npz"
+    if os.path.exists(cache):
+        d = np.load(cache)
+        rows, cols, n = d["rows"], d["cols"], int(d["n"])
+    else:
+        rows, cols, n = rmat_edges(scale, 16)
+        np.savez(cache, rows=rows, cols=cols, n=n)
+    A = to_matrix(rows, cols, n, types.BOOL)
+    t0 = time.perf_counter()
+    lv = fused.bfs_level(A, 0)
+    float(jnp.sum(lv._vals))
+    t_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    lv = fused.bfs_level(A, 1)
+    float(jnp.sum(lv._vals))
+    t_warm = time.perf_counter() - t0
+    out[f"bfs_fused_kron_s{scale}"] = {
+        "edges_per_s": len(rows) / t_warm, "first_s": t_first}
+    t0 = time.perf_counter()
+    bfs_level(A, 2)
+    out[f"bfs_push_kron_s{scale}"] = {
+        "edges_per_s": len(rows) / (time.perf_counter() - t0)}
+
+    # --- triangle counting at kron-16 (masked SpGEMM, config[2]) -----
+    scale = int(os.environ.get("BENCH_TC_SCALE", "16"))
+    cache = f"/tmp/pygb_bench_kron_s{scale}_ef16_sym.npz"
+    if os.path.exists(cache):
+        d = np.load(cache)
+        rows, cols, n = d["rows"], d["cols"], int(d["n"])
+    else:
+        rows, cols, n = rmat_edges(scale, 16)
+        rows, cols = (np.concatenate([rows, cols]),
+                      np.concatenate([cols, rows]))
+        keep = rows != cols
+        rows, cols = rows[keep], cols[keep]
+        keys = rows.astype(np.int64) * n + cols
+        _, idx = np.unique(keys, return_index=True)
+        rows, cols = rows[idx], cols[idx]
+        np.savez(cache, rows=rows, cols=cols, n=n)
+    A = to_matrix(rows, cols, n, types.INT64)
+    t0 = time.perf_counter()
+    ntri = triangle_count(A, "sandia")
+    t_tc = time.perf_counter() - t0
+    out[f"tc_kron_s{scale}"] = {
+        "edges_per_s": len(rows) / t_tc, "triangles": int(ntri),
+        "seconds": t_tc}
+
+    # --- batched betweenness centrality (config[3]) ------------------
+    from pygraphblas_tpu import fused as _f
+
+    t0 = time.perf_counter()
+    bcv = _f.bc(A.cast(types.FP32), [0, 1, 2, 3])
+    float(jnp.sum(bcv._vals))
+    t_bc = time.perf_counter() - t0
+    out[f"bc4_kron_s{scale}"] = {"seconds": t_bc}
+    return out
 
 
 if __name__ == "__main__":

@@ -305,14 +305,20 @@ def mxm(a_vals, a_mask, b_vals, b_mask, semiring, out_dtype):
     t_mask = _f32_pattern_matmul(a_mask, b_mask)
 
     # --- MXU-lowerable algebras -------------------------------------------
-    if add == "PLUS" and mul in ("TIMES", "PAIR") and not is_bool_out \
+    if add == "PLUS" and mul == "PAIR" and not is_bool_out:
+        # structural counts: always exact in float (count <= k <= 2^24
+        # for any bitmap-tier k), so ride BLAS/MXU instead of the
+        # integer matmul XLA lowers to a naive loop
+        acc = jnp.float32 if jax.default_backend() == "tpu" \
+            else jnp.float64
+        prod = jnp.matmul(a_mask.astype(acc), b_mask.astype(acc),
+                          preferred_element_type=acc)
+        return prod.astype(out_dtype), t_mask
+
+    if add == "PLUS" and mul == "TIMES" and not is_bool_out \
             and _matmul_ok(out_dtype):
-        if mul == "TIMES":
-            av = jnp.where(a_mask, a_vals, jnp.zeros_like(a_vals)).astype(out_dtype)
-            bv = jnp.where(b_mask, b_vals, jnp.zeros_like(b_vals)).astype(out_dtype)
-        else:  # PAIR: every structural match contributes 1
-            av = a_mask.astype(out_dtype)
-            bv = b_mask.astype(out_dtype)
+        av = jnp.where(a_mask, a_vals, jnp.zeros_like(a_vals)).astype(out_dtype)
+        bv = jnp.where(b_mask, b_vals, jnp.zeros_like(b_vals)).astype(out_dtype)
         t_vals = jnp.matmul(av, bv, preferred_element_type=out_dtype)
         return t_vals, t_mask
 

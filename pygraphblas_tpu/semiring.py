@@ -89,10 +89,14 @@ def build_semirings(__pdoc__=None):
         for typ in fam["types"]:
             for pls in fam["adds"]:
                 for mul in fam["muls"]:
-                    # positional muls only exist for integer result types;
-                    # SuiteSparse defines them over INT32/INT64 semirings of
-                    # any real input type -- here they require the mul op to
-                    # exist for the type.
+                    # positional ops exist only as INT32/INT64-typed
+                    # operators in SuiteSparse (5 adds x 8 positional
+                    # muls x 2 types = 80 semirings); the reference's
+                    # reflection regex (semiring.py:87-93) nominally
+                    # admits more names, but `lib` exports none, so the
+                    # registry parity target is SuiteSparse's documented
+                    # 1,553 built-in semirings — asserted in
+                    # tests/test_types.py::test_semiring_registry_count.
                     bin_name = "_".join((mul, typ))
                     if mul in ("FIRSTI", "FIRSTI1", "FIRSTJ", "FIRSTJ1",
                                "SECONDI", "SECONDI1", "SECONDJ", "SECONDJ1"):

@@ -74,3 +74,15 @@ def test_tgamma_negative_arguments():
     got = v.apply(types.FP64.TGAMMA).npV
     want = scipy_gamma(np.asarray(xs))
     assert np.allclose(got, want, rtol=1e-5), (got, want)
+
+
+def test_semiring_registry_count():
+    """Registry parity: SuiteSparse documents exactly 1,553 built-in
+    semirings (UserGuide 'built-in semirings'; the reference reflects
+    them from `lib`, pygraphblas/semiring.py:154).  Our generator must
+    produce the same count."""
+    from pygraphblas_tpu import semiring as sr
+
+    count = sum(1 for name in dir(sr)
+                if isinstance(getattr(sr, name), sr.Semiring))
+    assert count == 1553, count
