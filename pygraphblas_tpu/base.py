@@ -30,6 +30,9 @@ __all__ = [
     "Panic",
     "options_set",
     "options_get",
+    "perf_report",
+    "profile_start",
+    "profile_stop",
     "GxB_INDEX_MAX",
     "GxB_IMPLEMENTATION",
     "GxB_SPEC",
@@ -132,6 +135,8 @@ class GlobalConfig:
         default_factory=lambda: [0.04, 0.05, 0.06, 0.08, 0.10, 0.20, 0.30, 0.40]
     )
     format: int = BY_ROW
+    # per-op wall-clock counters (perf_report())
+    op_timing: int = 0
     # TPU-specific knobs (no reference counterpart):
     # max number of logical cells a matrix may have and still be eligible
     # for the dense bitmap execution path.  2^26 fp32 cells = 256MB of
@@ -161,6 +166,7 @@ def options_set(
     hyper_switch=None,
     bitmap_switch=None,
     format=None,
+    op_timing=None,
     bitmap_max_cells=None,
     vector_max_cells=None,
     spmv_engine=None,
@@ -189,6 +195,8 @@ def options_set(
         config.bitmap_switch = list(bitmap_switch)
     if format is not None:
         config.format = int(format)
+    if op_timing is not None:
+        config.op_timing = int(op_timing)
     if bitmap_max_cells is not None:
         config.bitmap_max_cells = int(bitmap_max_cells)
     if vector_max_cells is not None:
@@ -225,6 +233,61 @@ def burble(msg, *args):
     """Dispatch-layer debug logging, the TPU analog of SuiteSparse burble."""
     if config.burble:
         print("[burble %.6f] %s" % (time.time(), msg % args), file=sys.stderr)
+
+
+# --------------------------------------------------------------------------
+# Observability: per-operation wall-clock counters + jax profiler hooks
+# (SURVEY §5: "jax profiler traces + per-kernel cost logging").
+# --------------------------------------------------------------------------
+
+perf_counters = {}
+
+
+def _timed(name):
+    """Decorate a dispatch-layer operation with an op-timing counter
+    (enabled via ``options_set(op_timing=1)``; ~zero cost when off)."""
+    from functools import wraps
+
+    def deco(fn):
+        @wraps(fn)
+        def wrap(*a, **k):
+            if not config.op_timing:
+                return fn(*a, **k)
+            t0 = time.perf_counter()
+            try:
+                return fn(*a, **k)
+            finally:
+                c = perf_counters.setdefault(name, [0, 0.0])
+                c[0] += 1
+                c[1] += time.perf_counter() - t0
+        return wrap
+    return deco
+
+
+def perf_report(reset=False, file=None):
+    """Aggregated per-op timing: {op: (calls, total_seconds)}.  With
+    file= (e.g. sys.stderr) also prints a sorted table."""
+    snap = {k: tuple(v) for k, v in perf_counters.items()}
+    if file is not None:
+        for k, (n, t) in sorted(snap.items(), key=lambda kv: -kv[1][1]):
+            print(f"{k:24s} {n:8d} calls {t:10.4f} s", file=file)
+    if reset:
+        perf_counters.clear()
+    return snap
+
+
+def profile_start(log_dir):
+    """Start a jax profiler trace (TensorBoard format); per-kernel
+    device timings land in `log_dir`."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+
+
+def profile_stop():
+    import jax
+
+    jax.profiler.stop_trace()
 
 
 # --------------------------------------------------------------------------

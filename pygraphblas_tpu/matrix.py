@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from .base import (
     NULL,
+    _timed,
     GxB_INDEX_MAX,
     GraphBLASException,
     NoValue,
@@ -1171,6 +1172,7 @@ class Matrix:
     # transpose / cast
     # ------------------------------------------------------------------
 
+    @_timed("Matrix.transpose")
     def transpose(self, cast=None, out=None, mask=None, accum=None, desc=None):
         """Transpose (and optionally cast) the Matrix.
 
@@ -1236,6 +1238,7 @@ class Matrix:
             op = op.binaryop
         return op
 
+    @_timed("Matrix.eadd")
     def eadd(self, other, add_op=None, cast=None, out=None, mask=None,
              accum=None, desc=None):
         """Element-wise union with `other`: the result pattern is the set
@@ -1288,6 +1291,7 @@ class Matrix:
 
     union = eadd
 
+    @_timed("Matrix.emult")
     def emult(self, other, mult_op=None, cast=None, out=None, mask=None,
               accum=None, desc=None):
         """Element-wise intersection with `other`: the result pattern is
@@ -1357,6 +1361,7 @@ class Matrix:
     # apply / select
     # ------------------------------------------------------------------
 
+    @_timed("Matrix.apply")
     def apply(self, op, out=None, mask=None, accum=None, desc=None):
         """Apply a unary operator to every element.
 
@@ -1461,6 +1466,7 @@ class Matrix:
             out, r, c, np.asarray(z).astype(out.type._numpy_t),
             mask, accum, desc)
 
+    @_timed("Matrix.select")
     def select(self, op, thunk=None, out=None, mask=None, accum=None,
                desc=None):
         """Select elements matching a predicate.  `op` may be a SelectOp,
@@ -1665,6 +1671,7 @@ class Matrix:
             np.asarray(_reduce_accum(accum, r, self.type._numpy_t))
             .astype(self.type._numpy_t))
 
+    @_timed("Matrix.reduce_vector")
     def reduce_vector(self, mon=None, out=None, cast=None, mask=None,
                       accum=None, desc=None):
         """Reduce rows to a Vector (or columns with desc=T0).
@@ -1715,6 +1722,7 @@ class Matrix:
             semiring = out_type._default_semiring()
         return semiring
 
+    @_timed("Matrix.mxm")
     def mxm(self, other, semiring=None, cast=None, out=None, mask=None,
             accum=None, desc=None):
         """Matrix-matrix multiply with a semiring.
@@ -1841,6 +1849,7 @@ class Matrix:
                                    v.astype(out.type._numpy_t),
                                    mask, accum, desc)
 
+    @_timed("Matrix.mxv")
     def mxv(self, other, semiring=None, cast=None, out=None, mask=None,
             accum=None, desc=None):
         """Matrix-vector multiply.
@@ -2025,6 +2034,7 @@ class Matrix:
     def __imatmul__(self, other):
         return self.mxm(other, out=self)
 
+    @_timed("Matrix.kronecker")
     def kronecker(self, other, op=None, cast=None, out=None, mask=None,
                   accum=None, desc=None):
         """Kronecker product with `op` (default TIMES).
@@ -2113,6 +2123,7 @@ class Matrix:
             iset.size = dim_size
         return iset
 
+    @_timed("Matrix.extract_matrix")
     def extract_matrix(self, row_index=None, col_index=None, out=None,
                        mask=None, accum=None, desc=None):
         """Extract a submatrix.  Slices follow GraphBLAS stop-inclusive
@@ -2324,6 +2335,7 @@ class Matrix:
             desc.replace, self.type._numpy_t)
         self._set_coo(nr, nc, nv)
 
+    @_timed("Matrix.assign_matrix")
     def assign_matrix(self, value, rindex=None, cindex=None, mask=None,
                       accum=None, desc=None):
         """Assign a submatrix (GrB_Matrix_assign parity).
@@ -2401,6 +2413,7 @@ class Matrix:
 
     assign = assign_matrix
 
+    @_timed("Matrix.assign_scalar")
     def assign_scalar(self, value, row_slice=None, col_slice=None, mask=None,
                       accum=None, desc=None):
         """Assign a scalar to a region of the Matrix.

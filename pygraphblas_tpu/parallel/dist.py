@@ -213,9 +213,15 @@ def dist_pagerank_step(spmv, r, d_inv_damped, teleport):
 
 
 def dist_pagerank(mesh, nrows, rows, cols, damping=0.85, itermax=100,
-                  tol=1e-4, dtype=np.float32):
+                  tol=1e-4, dtype=np.float32, checkpoint_path=None,
+                  checkpoint_every=10):
     """End-to-end distributed PageRank over the mesh (GAP formulation,
-    matching ``algorithms.pagerank``)."""
+    matching ``algorithms.pagerank``).
+
+    With ``checkpoint_path`` the rank vector snapshots atomically every
+    ``checkpoint_every`` iterations and a restart resumes
+    deterministically from the last snapshot (failure-recovery tier,
+    parallel/checkpoint.py)."""
     deg = np.zeros(nrows, dtype)
     np.add.at(deg, np.asarray(rows, np.int64), 1)
     # pad the square dimension so both mesh axes divide it evenly (the
@@ -235,8 +241,19 @@ def dist_pagerank(mesh, nrows, rows, cols, damping=0.85, itermax=100,
     teleport = np.asarray((1.0 - damping) / nrows, dtype)
 
     step = jax.jit(partial(dist_pagerank_step, spmv))
-    for _ in range(itermax):
+    start = 0
+    if checkpoint_path:
+        from .checkpoint import load_state, save_state
+
+        sig = f"pagerank:{nrows}:{len(rows)}:{damping}:{tol}"
+        resumed = load_state(checkpoint_path, sig)
+        if resumed is not None:
+            start, st = resumed
+            r = jax.device_put(st["r"].astype(dtype), spmv.y_spec)
+    for it in range(start, itermax):
         r, rdiff = step(r, d_inv, teleport)
+        if checkpoint_path and ((it + 1) % checkpoint_every == 0):
+            save_state(checkpoint_path, sig, it + 1, r=np.asarray(r))
         if float(rdiff) <= tol:
             break
     return np.asarray(r)[:nrows]

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from .base import (
     NULL,
+    _timed,
     GxB_INDEX_MAX,
     NoValue,
     DimensionMismatch,
@@ -818,6 +819,7 @@ class Vector:
             op = op.binaryop
         return op
 
+    @_timed("Vector.eadd")
     def eadd(self, other, add_op=None, cast=None, out=None, mask=None,
              accum=None, desc=None):
         """Element-wise union.
@@ -848,6 +850,7 @@ class Vector:
 
     union = eadd
 
+    @_timed("Vector.emult")
     def emult(self, other, mult_op=None, cast=None, out=None, mask=None,
               accum=None, desc=None):
         """Element-wise intersection.
@@ -907,6 +910,7 @@ class Vector:
         """Not `iseq`."""
         return not self.iseq(other)
 
+    @_timed("Vector.apply")
     def apply(self, op, out=None, mask=None, accum=None, desc=None):
         """Apply a unary operator to every element.
 
@@ -997,6 +1001,7 @@ class Vector:
             out, i, np.asarray(z).astype(out.type._numpy_t),
             mask, accum, desc)
 
+    @_timed("Vector.select")
     def select(self, op, thunk=None, out=None, mask=None, accum=None,
                desc=None):
         """Select elements matching a predicate (same string table as
@@ -1061,6 +1066,7 @@ class Vector:
                     jnp.zeros((1,), jnp.bool_))
         return self._dense_pair()
 
+    @_timed("Vector.reduce")
     def reduce(self, mon=None, accum=None, desc=None):
         """Type-generic reduce to a scalar of this vector's type.
 
@@ -1155,6 +1161,7 @@ class Vector:
     # vxm
     # ------------------------------------------------------------------
 
+    @_timed("Vector.vxm")
     def vxm(self, other, semiring=None, cast=None, out=None, mask=None,
             accum=None, desc=None):
         """Vector-matrix multiply ("on the left").
@@ -1367,6 +1374,7 @@ class Vector:
     # assign
     # ------------------------------------------------------------------
 
+    @_timed("Vector.assign")
     def assign(self, value, index=None, mask=None, accum=None, desc=None):
         """Assign a sub-vector (GrB_Vector_assign parity).
 
@@ -1428,6 +1436,7 @@ class Vector:
                               replace=desc.replace)
         self._set_dense(v.at[idx].set(nv), m.at[idx].set(nm))
 
+    @_timed("Vector.assign_scalar")
     def assign_scalar(self, value, index=None, mask=None, accum=None,
                       desc=None):
         """Assign a scalar to a region of the Vector.

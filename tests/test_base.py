@@ -61,3 +61,33 @@ def test_build_range_defaults():
     assert list(r.indices(10)) == list(range(2, 10))
     r = _build_range(slice(None, 2), 9)
     assert list(r.indices(10)) == [0, 1, 2]
+
+
+def test_op_timing_counters():
+    import sys
+    from pygraphblas_tpu import Matrix, types
+    from pygraphblas_tpu.base import options_set, perf_report
+
+    options_set(op_timing=1)
+    try:
+        A = Matrix.from_lists([0, 1], [1, 0], [1.0, 2.0])
+        (A @ A).eadd(A)
+        rep = perf_report(reset=True)
+        assert rep["Matrix.mxm"][0] >= 1
+        assert rep["Matrix.eadd"][0] >= 1
+    finally:
+        options_set(op_timing=0)
+
+
+def test_profiler_trace(tmp_path):
+    import os
+    from pygraphblas_tpu import Matrix
+    from pygraphblas_tpu.base import profile_start, profile_stop
+
+    profile_start(str(tmp_path))
+    A = Matrix.from_lists([0, 1], [1, 0], [1.0, 2.0])
+    _ = A @ A
+    profile_stop()
+    # a trace directory with at least one event file appeared
+    found = any("plugins" in r or f for r, d, f in os.walk(tmp_path))
+    assert found

@@ -114,3 +114,43 @@ def test_matrix_shard_pagerank():
     r_dist = A.shard(make_mesh(8)).pagerank(tol=1e-8).to_numpy()
     r_single = pagerank(A, tol=1e-8).to_numpy()
     assert np.allclose(r_dist, r_single, atol=1e-4)
+
+
+def test_dist_pagerank_checkpoint_resume(tmp_path):
+    """Deterministic restart from snapshot: an interrupted distributed
+    PageRank resumed from its checkpoint equals the uninterrupted run
+    (failure-recovery tier; SURVEY §5 mandates at least this)."""
+    import numpy as np
+    import networkx as nx
+    from pygraphblas_tpu.parallel.dist import make_mesh, dist_pagerank
+
+    G = nx.gnm_random_graph(200, 1500, seed=4, directed=True)
+    rows = np.asarray([u for u, v in G.edges()], np.int64)
+    cols = np.asarray([v for u, v in G.edges()], np.int64)
+    mesh = make_mesh(8)
+    ck = str(tmp_path / "pr.npz")
+
+    full = dist_pagerank(mesh, 200, rows, cols, itermax=20, tol=0.0)
+    # "crash" after 10 iterations (checkpoint_every=5 -> snapshot at 10)
+    dist_pagerank(mesh, 200, rows, cols, itermax=10, tol=0.0,
+                  checkpoint_path=ck, checkpoint_every=5)
+    resumed = dist_pagerank(mesh, 200, rows, cols, itermax=20, tol=0.0,
+                            checkpoint_path=ck, checkpoint_every=5)
+    assert np.array_equal(full, resumed)  # bitwise deterministic
+
+
+def test_elastic_run_restarts():
+    import numpy as np
+    from pygraphblas_tpu.parallel.checkpoint import elastic_run
+
+    fails = {"left": 2}
+
+    def step(i, state):
+        if i == 3 and fails["left"] > 0:
+            fails["left"] -= 1
+            raise RuntimeError("injected fault")
+        return {"x": state["x"] + 1}
+
+    out = elastic_run(step, {"x": np.zeros(4)}, 6)
+    assert (out["x"] == 6).all()
+    assert fails["left"] == 0
