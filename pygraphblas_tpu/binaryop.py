@@ -80,10 +80,30 @@ class BinaryOp:
         return input_type
 
     def apply(self, x, y, pos=None):
-        """Trace the scalar semantics over jnp arrays."""
+        """Trace the scalar semantics over jnp arrays.
+
+        Struct-UDT ops receive/return dicts of member arrays; array
+        arguments arriving as numpy structured arrays are converted at
+        this boundary (struct-of-arrays on device)."""
         if self.positional is not None:
             key, off = self.positional
             return pos[key] + off
+        if self.udt is not None and getattr(self.udt, "member_def", None):
+            import numpy as _np
+
+            def as_dict(a):
+                if isinstance(a, dict):
+                    return a
+                a = _np.asarray(a)
+                if a.dtype.names:
+                    return self.udt.to_dict(a)
+                return a
+
+            xd, yd = as_dict(x), as_dict(y)
+            zd = self.fn(xd, yd)
+            if isinstance(zd, dict) and not isinstance(x, dict):
+                return self.udt.from_dict(zd)
+            return zd
         return self.fn(x, y)
 
 

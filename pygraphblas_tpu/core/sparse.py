@@ -56,6 +56,37 @@ def _next_pow2(x):
     return p
 
 
+def segment_fold_generic(ids_sorted, vals, add_op):
+    """Segment reduce for ANY binary op (user fns, struct UDTs): ids
+    sorted; vals numpy (possibly structured).  log(max segment) passes
+    of vectorized adjacent-pair combining — no identity value needed.
+
+    Returns (unique_ids, folded_vals)."""
+    ids = np.asarray(ids_sorted)
+    vals = np.asarray(vals)
+    while len(ids):
+        starts = np.ones(len(ids), bool)
+        starts[1:] = ids[1:] != ids[:-1]
+        if starts.all():
+            break
+        run_id = np.cumsum(starts) - 1
+        run0 = np.zeros(run_id[-1] + 1, np.int64)
+        run0[run_id[np.nonzero(starts)[0]]] = np.nonzero(starts)[0]
+        within = np.arange(len(ids)) - run0[run_id]
+        # pair each even-offset element with its odd-offset successor
+        is_left = (within % 2 == 0)
+        has_right = np.zeros(len(ids), bool)
+        has_right[:-1] = is_left[:-1] & (~starts[1:])
+        left = np.nonzero(has_right)[0]
+        lone = np.nonzero(is_left & ~has_right)[0]
+        merged = add_op.apply(vals[left], vals[left + 1])
+        keep_ids = np.concatenate([ids[left], ids[lone]])
+        keep_vals = np.concatenate([np.asarray(merged), vals[lone]])
+        order = np.argsort(keep_ids, kind="stable")
+        ids, vals = keep_ids[order], keep_vals[order]
+    return ids, vals
+
+
 def coo_segment_reduce_compact(ids_host, vals_host, monoid, out_dtype):
     """Sparse-output segment reduce: monoid-reduce values by arbitrary
     (up to 2^60) ids.  The id space is compacted on the host so the

@@ -64,8 +64,20 @@ def spmspv(u, s, d, in_sorted_out_ids, in_sorted_vals, fi, fx,
     av = in_sorted_vals[offs]
     xv = fx[ent]
     mul = semiring.mul_op
+    add_bin = semiring.add_monoid.binaryop
+    is_struct = av.dtype.names is not None or xv.dtype.names is not None
     np_mul = _NP_MUL.get(mul.op) if (mul.builtin
                                      and not mul.positional) else None
+    if is_struct or not (add_bin.builtin and add_bin.op in (
+            "PLUS", "MIN", "MAX", "TIMES", "LOR", "LAND", "LXOR", "ANY")):
+        # struct UDTs / user monoids: struct-aware multiply + generic
+        # identity-free segment fold
+        from .sparse import segment_fold_generic
+
+        prod = np.asarray(mul.apply(av, xv))
+        order = np.argsort(out_ids, kind="stable")
+        return segment_fold_generic(out_ids[order], prod[order],
+                                    semiring.add_monoid)
     if np_mul is not None:
         if out_dtype == np.bool_:
             prod = np_mul(av.astype(bool), xv.astype(bool))\

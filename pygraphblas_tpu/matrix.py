@@ -129,10 +129,10 @@ class Matrix:
         self._hyper_switch = config.hyper_switch
         self._sparsity = 15  # GxB_AUTO_SPARSITY
         if fmt is None:
-            fmt = "bitmap" if self._fits_bitmap(nrows, ncols) else "coo"
+            fmt = "bitmap" if self._fits_bitmap(nrows, ncols, typ) else "coo"
         self._fmt = fmt
-        dt = typ._jnp_dtype()
         if fmt == "bitmap":
+            dt = typ._jnp_dtype()
             self._vals = jnp.zeros((self._nrows, self._ncols), dt)
             self._mask = jnp.zeros((self._nrows, self._ncols), jnp.bool_)
             self._rows_h = self._cols_h = self._vals_h = None
@@ -143,13 +143,15 @@ class Matrix:
             self._vals_h = np.empty(0, typ._numpy_t)
 
     @staticmethod
-    def _fits_bitmap(nrows, ncols):
+    def _fits_bitmap(nrows, ncols, typ=None):
+        if typ is not None and not typ._allows_bitmap:
+            return False
         return nrows * ncols <= config.bitmap_max_cells
 
     @property
     def _is_huge(self):
         """True when this matrix can only live in sparse (COO) form."""
-        return not self._fits_bitmap(self._nrows, self._ncols)
+        return not self._fits_bitmap(self._nrows, self._ncols, self.type)
 
     @classmethod
     def sparse(cls, typ, nrows=None, ncols=None, fill=None, mask=None):
@@ -189,7 +191,7 @@ class Matrix:
             nrows = GxB_INDEX_MAX
         if ncols is None:
             ncols = GxB_INDEX_MAX
-        if not cls._fits_bitmap(nrows, ncols):
+        if not cls._fits_bitmap(nrows, ncols, typ):
             if nrows * ncols > cls._SCALAR_FILL_BUDGET:
                 raise InsufficientSpace(
                     "dense matrix too large for bitmap format")
@@ -499,7 +501,7 @@ class Matrix:
         if self._fmt == "bitmap":
             v, m = self._vals, self._mask
         else:
-            if not self._fits_bitmap(self._nrows, self._ncols):
+            if not self._fits_bitmap(self._nrows, self._ncols, self.type):
                 raise InsufficientSpace(
                     "matrix too large for the dense execution path")
             v = jnp.zeros((self._nrows, self._ncols), self.type._jnp_dtype())
@@ -603,8 +605,10 @@ class Matrix:
     @staticmethod
     def _np_binop(op):
         """numpy-vectorized closure of a BinaryOp (through its traced
-        jax apply)."""
+        jax apply; struct UDT ops convert at the op boundary)."""
         def fn(x, y):
+            if getattr(op, "udt", None) is not None:
+                return np.asarray(op.apply(x, y))
             return np.asarray(op.apply(jnp.asarray(x), jnp.asarray(y)))
         return fn
 
@@ -820,7 +824,7 @@ class Matrix:
         keep = (r < nrows) & (c < ncols)
         self._nrows = int(nrows)
         self._ncols = int(ncols)
-        self._fmt = "bitmap" if self._fits_bitmap(nrows, ncols) else "coo"
+        self._fmt = "bitmap" if self._fits_bitmap(nrows, ncols, self.type) else "coo"
         dt = self.type._jnp_dtype()
         if self._fmt == "bitmap":
             self._vals = jnp.zeros((self._nrows, self._ncols), dt)
@@ -1281,6 +1285,8 @@ class Matrix:
         dt = out.type._numpy_t
 
         def fn(x, y):
+            if getattr(op, "udt", None) is not None:
+                return np.asarray(op.apply(x, y))  # struct-aware
             if op.ztype_rule != "BOOL":
                 x = x.astype(dt)
                 y = y.astype(dt)
@@ -1694,7 +1700,7 @@ class Matrix:
         if self._is_huge:
             from .core import sparse as sk
 
-            if out._fits_bitmap(out.size):
+            if out._fits_bitmap(out.size, out.type):
                 rows, cols, vals = self._device_coo()
                 ids = cols if desc.inp0 else rows
                 tv, tm = sk.coo_segment_reduce(
@@ -1879,8 +1885,8 @@ class Matrix:
             out = Vector.sparse(typ, anrows)
         if semiring is None:
             semiring = out.type._default_semiring()
-        if self._fmt == "coo" and not self._fits_bitmap(self._nrows,
-                                                        self._ncols):
+        if self._fmt == "coo" and not self._fits_bitmap(
+                self._nrows, self._ncols, self.type):
             return self._sparse_mxv(other, semiring, out, mask, accum, desc,
                                     transpose=desc.inp0)
         av, am = self._dense_pair(desc.inp0)
@@ -1956,7 +1962,7 @@ class Matrix:
                                       red.astype(out.type._numpy_t),
                                       mask, accum, desc)
         if getattr(other, "_fmt", None) == "iso" \
-                and not other._fits_bitmap(other.size):
+                and not other._fits_bitmap(other.size, other.type):
             # O(1) iso operand (out_degree at 2^60 etc.): y = row-reduce
             # of mul(a_ij, c) — no x materialization at any size
             mul = semiring.mul_op

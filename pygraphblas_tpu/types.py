@@ -117,6 +117,7 @@ class Type(metaclass=MetaType):
     base = True
     _typecode = None
     _numpy_t = None
+    _allows_bitmap = True   # struct UDTs override: COO/host tier only
     members = None  # UDTs override
 
     @classmethod
@@ -350,6 +351,16 @@ _C_TO_NUMPY = {
 
 
 class MetaUDT(MetaType):
+    """Metaclass for struct user-defined types.
+
+    ``members = ["double w", "int64_t pi"]`` builds a numpy structured
+    dtype; containers store UDT values as structured COO value arrays
+    on the host tier (struct-of-arrays on device: each member column
+    becomes its own jnp array inside kernels).  The TPU-native
+    replacement for GrB_Type_new + numba record mapping (reference
+    types.py:56-71).
+    """
+
     def __new__(meta, type_name, bases, attrs):
         if "members" in attrs and attrs["members"]:
             members = [m.split() for m in attrs["members"]]
@@ -358,7 +369,51 @@ class MetaUDT(MetaType):
                 name: _C_TO_NUMPY[ctype] for ctype, name in members
             }
             attrs["_base_name"] = "UDT"
-        return super().__new__(meta, type_name, bases, attrs)
+            attrs["_numpy_t"] = numpy.dtype(
+                [(name, _C_TO_NUMPY[ctype]) for ctype, name in members])
+            attrs["_allows_bitmap"] = False
+
+            def _coerce(cls, value):
+                if isinstance(value, numpy.void):
+                    return value
+                return numpy.asarray([tuple(value)], cls._numpy_t)[0]
+
+            def _from_value(cls, value):
+                return value
+
+            def _to_value(cls, data):
+                return tuple(
+                    data[name].item() if hasattr(data[name], "item")
+                    else data[name] for _, name in cls.member_def)
+
+            def format_value(cls, val, width=2, prec=None):
+                if val == "" or val is None:
+                    return f"{'':>{width}}"
+                return f"{str(tuple(val)):>{width}}"
+
+            def to_dict(cls, arr):
+                """structured numpy array -> dict of member jnp arrays."""
+                arr = numpy.asarray(arr)
+                return {name: jnp.asarray(arr[name])
+                        for _, name in cls.member_def}
+
+            def from_dict(cls, d, n=None):
+                """dict of member arrays -> structured numpy array."""
+                first = next(iter(d.values()))
+                n = len(first) if n is None else n
+                out = numpy.empty(n, cls._numpy_t)
+                for _, name in cls.member_def:
+                    out[name] = numpy.asarray(d[name])
+                return out
+
+            attrs.setdefault("_coerce", classmethod(_coerce))
+            attrs.setdefault("_from_value", classmethod(_from_value))
+            attrs.setdefault("_to_value", classmethod(_to_value))
+            attrs.setdefault("format_value", classmethod(format_value))
+            attrs.setdefault("to_dict", classmethod(to_dict))
+            attrs.setdefault("from_dict", classmethod(from_dict))
+        cls = super().__new__(meta, type_name, bases, attrs)
+        return cls
 
 
 def binop(boolean=False):

@@ -83,7 +83,7 @@ class Vector:
         self._host_c = None
         self._iso_v = None
         if fmt is None:
-            fmt = "bitmap" if self._fits_bitmap(size) else "coo"
+            fmt = "bitmap" if self._fits_bitmap(size, typ) else "coo"
         self._fmt = fmt
         if fmt == "iso":
             self._vals = self._mask = None
@@ -98,7 +98,9 @@ class Vector:
             self._vals_h = np.empty(0, typ._numpy_t)
 
     @staticmethod
-    def _fits_bitmap(size):
+    def _fits_bitmap(size, typ=None):
+        if typ is not None and not typ._allows_bitmap:
+            return False
         return size <= config.vector_max_cells
 
     # ------------------------------------------------------------------
@@ -132,8 +134,8 @@ class Vector:
         """
         if size is None:
             size = GxB_INDEX_MAX
-        if not cls._fits_bitmap(size):
-            if size > (1 << 27):
+        if not cls._fits_bitmap(size, typ):
+            if size > (1 << 27) or not typ._allows_bitmap:
                 raise InsufficientSpace(
                     "dense vector too large (use Vector.iso for O(1) "
                     "all-same-value vectors)")
@@ -161,7 +163,7 @@ class Vector:
         1| 3
         """
         typ = _type_from_value(value)
-        if not cls._fits_bitmap(size):
+        if not cls._fits_bitmap(size, typ):
             v = cls(typ, size, fmt="iso")
             v._iso_v = typ._coerce(value)
             return v
@@ -288,7 +290,7 @@ class Vector:
     def _dense_pair(self, transpose=False):
         self._flush()
         if self._fmt == "iso":
-            if not self._fits_bitmap(self._size):
+            if not self._fits_bitmap(self._size, self.type):
                 raise InsufficientSpace(
                     "iso vector too large to materialize")
             return (jnp.full((self._size,), self._iso_v,
@@ -296,7 +298,7 @@ class Vector:
                     jnp.ones((self._size,), jnp.bool_))
         if self._fmt == "bitmap":
             return self._vals, self._mask
-        if not self._fits_bitmap(self._size):
+        if not self._fits_bitmap(self._size, self.type):
             raise InsufficientSpace("vector too large for dense path")
         v = jnp.zeros((self._size,), self.type._jnp_dtype())
         m = jnp.zeros((self._size,), jnp.bool_)
@@ -422,6 +424,8 @@ class Vector:
         dt = out.type._numpy_t
 
         def fn(x, y):
+            if getattr(op, "udt", None) is not None:
+                return np.asarray(op.apply(x, y))  # struct-aware
             if op.ztype_rule != "BOOL":
                 x = x.astype(dt)
                 y = y.astype(dt)
@@ -443,7 +447,7 @@ class Vector:
 
         if mask is not None and mask.shape[0] != out.size:
             raise DimensionMismatch("mask size does not match output")
-        if out._fits_bitmap(out.size):
+        if out._fits_bitmap(out.size, out.type):
             dt = out.type._jnp_dtype()
             tvd = jnp.zeros((out.size,), dt)
             tmd = jnp.zeros((out.size,), jnp.bool_)
@@ -619,7 +623,7 @@ class Vector:
         i, v = self._coo()
         keep = i < size
         self._size = int(size)
-        self._fmt = "bitmap" if self._fits_bitmap(size) else "coo"
+        self._fmt = "bitmap" if self._fits_bitmap(size, self.type) else "coo"
         if self._fmt == "bitmap":
             self._vals = jnp.zeros((self._size,), self.type._jnp_dtype())
             self._mask = jnp.zeros((self._size,), jnp.bool_)
@@ -840,7 +844,7 @@ class Vector:
             add_op = out.type._default_addop()
         if self.size != other.size:
             raise DimensionMismatch("eadd size mismatch")
-        if not self._fits_bitmap(self.size):
+        if not self._fits_bitmap(self.size, self.type):
             return self._ewise_huge(other, add_op, out, mask, accum, desc,
                                     union=True)
         av, am = self._dense_pair()
@@ -871,7 +875,7 @@ class Vector:
             mult_op = out.type._default_multop()
         if self.size != other.size:
             raise DimensionMismatch("emult size mismatch")
-        if not self._fits_bitmap(self.size):
+        if not self._fits_bitmap(self.size, self.type):
             return self._ewise_huge(other, mult_op, out, mask, accum,
                                     desc, union=False)
         av, am = self._dense_pair()
@@ -926,7 +930,7 @@ class Vector:
         ztype = op.ztype(self.type)
         if out is None:
             out = Vector.sparse(ztype, self.size)
-        if not self._fits_bitmap(self.size):
+        if not self._fits_bitmap(self.size, self.type):
             i, v = self._coo()
             if op.positional:
                 pos = dict(i=jnp.asarray(i), j=jnp.asarray(i))
@@ -954,7 +958,7 @@ class Vector:
         ztype = op.ztype(self.type)
         if out is None:
             out = Vector.sparse(ztype, self.size)
-        if not self._fits_bitmap(self.size):
+        if not self._fits_bitmap(self.size, self.type):
             return self._apply_bound_sparse(op, first, True, out, mask,
                                             accum, desc)
         v, m = self._dense_pair()
@@ -976,7 +980,7 @@ class Vector:
         ztype = op.ztype(self.type)
         if out is None:
             out = Vector.sparse(ztype, self.size)
-        if not self._fits_bitmap(self.size):
+        if not self._fits_bitmap(self.size, self.type):
             return self._apply_bound_sparse(op, second, False, out, mask,
                                             accum, desc)
         v, m = self._dense_pair()
@@ -1031,7 +1035,7 @@ class Vector:
         if thunk is None:
             thunk = DEFAULT_THUNKS.get(op.name) or 0
         mask, accum, desc = self._get_args(mask, accum, desc)
-        if not self._fits_bitmap(self.size):
+        if not self._fits_bitmap(self.size, self.type):
             i, v = self._coo()
             keep = np.asarray(op.apply(jnp.asarray(i), jnp.asarray(i),
                                        jnp.asarray(v),
@@ -1058,7 +1062,7 @@ class Vector:
         """(vals, mask) arrays for scalar reductions: the dense pair, or
         the COO value vector for huge vectors (every stored value
         present)."""
-        if not self._fits_bitmap(self._size):
+        if not self._fits_bitmap(self._size, self.type):
             _, v = self._coo()
             if v.size:
                 return jnp.asarray(v), jnp.ones((v.size,), jnp.bool_)
@@ -1079,6 +1083,17 @@ class Vector:
                 mon = getattr(self.type,
                               self.type._default_addop().op + "_MONOID")
         _, accum, desc = self._get_args(None, accum, desc)
+        if getattr(self.type, "member_def", None):
+            # struct UDT: identity-free pairwise tree fold on the host
+            _, v = self._coo()
+            if len(v) == 0:
+                raise NoValue
+            while len(v) > 1:
+                k = (len(v) // 2) * 2
+                merged = np.asarray(mon.apply(v[0:k:2], v[1:k:2]))
+                v = (merged if k == len(v)
+                     else np.concatenate([merged, v[k:]]))
+            return self.type._to_value(v[0])
         v, m = self._reduce_pair()
         from .matrix import _reduce_accum
         r = np.asarray(dk.reduce_all(v, m, mon)).astype(self.type._numpy_t)
@@ -1192,8 +1207,8 @@ class Vector:
             out = Vector.sparse(typ, bncols)
         if semiring is None:
             semiring = out.type._default_semiring()
-        if other._fmt == "coo" and not Matrix._fits_bitmap(other.nrows,
-                                                           other.ncols):
+        if other._fmt == "coo" and not Matrix._fits_bitmap(
+                other.nrows, other.ncols, other.type):
             return other._sparse_mxv(self, semiring, out, mask, accum, desc,
                                      transpose=not desc.inp1)
         bv, bm = other._dense_pair(desc.inp1)
@@ -1392,7 +1407,7 @@ class Vector:
             iset.size = self._size
         if iset.size != value.size:
             raise DimensionMismatch("assign length mismatch")
-        if not self._fits_bitmap(self._size):
+        if not self._fits_bitmap(self._size, self.type):
             from .core import coosem as cs
             from .matrix import Matrix as _M
 
@@ -1453,7 +1468,7 @@ class Vector:
                             else slice(index, index), self._size - 1)
         if iset.size is None:
             iset.size = self._size
-        if not self._fits_bitmap(self._size):
+        if not self._fits_bitmap(self._size, self.type):
             return self._assign_scalar_sparse(value, iset, mask, accum,
                                               desc)
         self._flush()

@@ -95,3 +95,67 @@ def test_user_semiring_mxv():
     y = A.mxv(x, semiring=sr)
     # y[0] = max(2*10+1, 3*20+1) = 61; y[1] = 4*20+1 = 81
     assert y.to_lists() == [[0, 1], [61.0, 81.0]]
+
+
+def test_struct_udt_bellman_ford():
+    """Struct UDTs with container storage (VERDICT r1 coverage #10):
+    single-source shortest paths carrying (distance, parent) through a
+    user min-plus semiring over a 2-member struct — the reference's
+    disabled Bellman-Ford UDT test (tests/test_udt.py:7-10), enabled."""
+    import numpy as np
+    import networkx as nx
+
+    from pygraphblas_tpu.types import MetaUDT, Type
+    from pygraphblas_tpu.binaryop import BinaryOp
+
+    class DistPi(Type, metaclass=MetaUDT):
+        members = ["double w", "int64_t pi"]
+
+    def min_combine(x, y):
+        take_x = x["w"] <= y["w"]
+        return {"w": jnp.where(take_x, x["w"], y["w"]),
+                "pi": jnp.where(take_x, x["pi"], y["pi"])}
+
+    def plus_carry(a, x):
+        # a = edge (weight, its source vertex); x = frontier (dist, _)
+        return {"w": a["w"] + x["w"], "pi": a["pi"]}
+
+    MIN = BinaryOp("MINC", "DistPi", fn=min_combine, udt=DistPi,
+                   attach=False)
+    PLUS = BinaryOp("PLUSC", "DistPi", fn=plus_carry, udt=DistPi,
+                    attach=False)
+    monoid = DistPi.new_monoid(MIN, (np.inf, -1))
+    semiring = DistPi.new_semiring(monoid, PLUS)
+
+    G = nx.DiGraph()
+    G.add_weighted_edges_from([
+        (0, 1, 9.0), (0, 3, 3.0), (1, 2, 8.0), (3, 4, 6.0), (3, 5, 1.0),
+        (4, 2, 4.0), (1, 5, 7.0), (5, 4, 2.0),
+    ])
+    n = 6
+    A = Matrix.sparse(DistPi, n, n)
+    for u, v, w in G.edges(data="weight"):
+        A[u, v] = (w, u)          # edge weight + source vertex id
+    assert A._fmt == "coo"        # struct UDTs live on the sparse tier
+    assert A[0, 1] == (9.0, 0)
+
+    d = Vector.sparse(DistPi, n)
+    d[0] = (0.0, 0)
+    for _ in range(n):
+        prev = {i: val for i, val in iter(d)}
+        relax = d.vxm(A, semiring=semiring)
+        d = d.eadd(relax, MIN)
+        cur = {i: val for i, val in iter(d)}
+        if cur == prev:
+            break
+
+    expect = nx.single_source_dijkstra_path_length(G, 0)
+    got = {i: val for i, val in iter(d)}
+    assert set(got) == set(expect)
+    for node, dist in expect.items():
+        w, pi = got[node]
+        assert w == dist, (node, w, dist)
+        if node != 0:
+            # parent is a true predecessor on a shortest path
+            assert G.has_edge(pi, node)
+            assert expect[pi] + G[pi][node]["weight"] == dist
