@@ -725,8 +725,18 @@ class Vector:
         mask, accum, desc = self._get_args(mask, accum, desc)
         iset = _build_range(index if not _is_int(index)
                             else slice(index, index), self._size - 1)
+        if iset.size is None:
+            iset.size = self._size
+        out = Vector.sparse(self.type, iset.size)
+        if not self._fits_bitmap(self._size, self.type):
+            from .core import coosem as cs
+
+            i, v = self._coo()
+            ent, pos = cs.selector(iset, self._size).select(i)
+            order = np.argsort(pos, kind="stable")
+            return out._coo_writeback(out, pos[order], v[ent][order],
+                                      mask, accum, desc)
         I = np.asarray(iset.indices(self._size), np.int64)
-        out = Vector.sparse(self.type, len(I))
         v, m = self._dense_pair()
         idx = jnp.asarray(I)
         return out._writeback(out, v[idx], m[idx], mask, accum, desc)

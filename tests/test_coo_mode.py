@@ -17,6 +17,7 @@ from pygraphblas_tpu.base import config
 
 import test_masks as _masks
 import test_matrix as _matrix
+import test_vector as _vector
 
 # tests that pin bitmap-format-specific behavior (physical storage
 # introspection), meaningless under forced COO
@@ -25,29 +26,33 @@ _SKIP = {
 }
 
 
-def _wrap(fn, name):
+def _wrap(fn, name, vectors_too):
+    def _run(*args, _fn=fn):
+        old_m = config.bitmap_max_cells
+        old_v = config.vector_max_cells
+        config.bitmap_max_cells = 1
+        if vectors_too:
+            config.vector_max_cells = 1
+        try:
+            _fn(*args)
+        finally:
+            config.bitmap_max_cells = old_m
+            config.vector_max_cells = old_v
+
     if "tmp_path" in inspect.signature(fn).parameters:
-        def wrapper(tmp_path, _fn=fn):
-            old = config.bitmap_max_cells
-            config.bitmap_max_cells = 1
-            try:
-                _fn(tmp_path)
-            finally:
-                config.bitmap_max_cells = old
+        def wrapper(tmp_path):
+            _run(tmp_path)
     else:
-        def wrapper(_fn=fn):
-            old = config.bitmap_max_cells
-            config.bitmap_max_cells = 1
-            try:
-                _fn()
-            finally:
-                config.bitmap_max_cells = old
+        def wrapper():
+            _run()
     wrapper.__name__ = name
     return wrapper
 
 
-for _mod, _tag in ((_masks, "masks"), (_matrix, "matrix")):
+for _mod, _tag, _vecs in ((_masks, "masks", False),
+                          (_matrix, "matrix", False),
+                          (_vector, "vector", True)):
     for _name in dir(_mod):
         if _name.startswith("test_") and _name not in _SKIP:
             _new = f"{_name}__coo_{_tag}"
-            globals()[_new] = _wrap(getattr(_mod, _name), _new)
+            globals()[_new] = _wrap(getattr(_mod, _name), _new, _vecs)
