@@ -372,8 +372,27 @@ class PermPlan:
         pp = (src // K) * 128 + src % K
         qq = (q // K) * 128 + q % K
 
-        c0 = _greedy_color(pp >> 7, qq >> 7, R0, rng)
-        p_full, q_full, c_full, _ = _complete_level0(pp, qq, c0, R0)
+        # level-0 coloring.  Fast path: complete the embedding to a full
+        # bijection FIRST (any pairing of free src cells with free dst
+        # cells makes every row exactly 128-regular), then one exact
+        # native Euler-split coloring — ~10x faster than the greedy
+        # random repair loop at GAP scale.  Greedy remains the fallback
+        # when the native extension is absent.
+        from ..io.native import HAVE_NATIVE
+
+        if HAVE_NATIVE:
+            src_cell_used = np.zeros(R0 * 128, bool)
+            dst_cell_used = np.zeros(R0 * 128, bool)
+            src_cell_used[pp] = True
+            dst_cell_used[qq] = True
+            js = np.flatnonzero(~src_cell_used)
+            jd = np.flatnonzero(~dst_cell_used)
+            p_full = np.concatenate([pp, js])
+            q_full = np.concatenate([qq, jd])
+            c_full = _exact_color(p_full >> 7, q_full >> 7, R0)
+        else:
+            c0 = _greedy_color(pp >> 7, qq >> 7, R0, rng)
+            p_full, q_full, c_full, _ = _complete_level0(pp, qq, c0, R0)
 
         a_stages, c_stages = [], []
         u = p_full       # current src cell index at this level, in [0, R_i*128)
