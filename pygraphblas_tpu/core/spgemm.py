@@ -259,34 +259,50 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
     out_vals = np.zeros(nmask, out_dtype)
     out_cnt = np.zeros(nmask, np.int64)
 
-    # heavy edges: host-side sorted intersection fallback
+    # heavy edges: host-side sorted intersections, products and folds
+    # batched so there are at most O(log) device calls total (a
+    # per-product device sync here stalls for hours through the remote
+    # TPU tunnel)
     heavy = total > WIDTH_CAP
     if heavy.any():
         burble("masked_spgemm: %d heavy edges via host intersect",
                int(heavy.sum()))
+        segs, vas, vbs, coms, eids = [], [], [], [], []
         for e in np.nonzero(heavy)[0]:
-            i, j = m_rows[e], m_cols[e]
             ka = a_cols[a_st[e]:a_st[e] + wa[e]]
             kb = bt_cols[b_st[e]:b_st[e] + wb[e]]
             common, ia, ib = np.intersect1d(ka, kb, assume_unique=True,
                                             return_indices=True)
             if len(common):
-                va = a_vals[a_st[e] + ia].astype(out_dtype)
-                vb = bt_vals[b_st[e] + ib].astype(out_dtype)
-                if semiring.mul_op.positional:
-                    key, off = semiring.mul_op.positional
-                    src = dict(i0=np.full(len(common), i), j0=common,
-                               i1=common, j1=np.full(len(common), j))
-                    prods = src[key] + off
-                else:
-                    prods = np.asarray(semiring.mul_op.apply(
-                        jnp.asarray(va), jnp.asarray(vb)))
-                acc = prods[0]
-                for p in prods[1:]:
-                    acc = np.asarray(semiring.add_monoid.apply(
-                        jnp.asarray(acc), jnp.asarray(p)))
-                out_vals[e] = acc
+                vas.append(a_vals[a_st[e] + ia])
+                vbs.append(bt_vals[b_st[e] + ib])
+                coms.append(common)
+                eids.append(np.full(len(common), e, np.int64))
                 out_cnt[e] = len(common)
+        if eids:
+            from .spmspv import _NP_MUL
+            from .sparse import segment_fold_generic
+
+            eid = np.concatenate(eids)
+            va = np.concatenate(vas)
+            vb = np.concatenate(vbs)
+            mul = semiring.mul_op
+            if mul.positional:
+                key, off = mul.positional
+                com = np.concatenate(coms)
+                src = dict(i0=m_rows[eid], j0=com, i1=com, j1=m_cols[eid])
+                prods = (src[key] + off).astype(out_dtype)
+            elif mul.builtin and mul.op in _NP_MUL:
+                prods = _NP_MUL[mul.op](va.astype(out_dtype),
+                                        vb.astype(out_dtype))\
+                    .astype(out_dtype)
+            else:
+                prods = np.asarray(mul.apply(
+                    jnp.asarray(va.astype(out_dtype)),
+                    jnp.asarray(vb.astype(out_dtype)))).astype(out_dtype)
+            ue, red = segment_fold_generic(eid, prods,
+                                           semiring.add_monoid)
+            out_vals[ue] = red
 
     # bucket the rest by pow2 width; the (E, W) concat build runs on
     # device (host transfers are E-sized scalars + the COO arrays once)

@@ -105,3 +105,47 @@ def test_masked_spgemm_any_pair_and_min_pair():
         rp, cp, vp = Cp.to_lists()
         assert (ri, ci) == (rp, cp)     # same pattern as the count version
         assert all(v == 1 for v in vi)  # but every present value is 1
+
+
+def test_heavy_edge_fallback():
+    """Mask edges whose combined adjacency exceeds WIDTH_CAP go through
+    the batched host-intersect fallback; values must match the oracle."""
+    from pygraphblas_tpu import semiring as sr
+
+    rng = np.random.RandomState(2)
+    n = 20_000
+    hub_deg = 9_000  # > WIDTH_CAP/2 so hub-hub edges are heavy
+    hubs = [0, 1]
+    rows = np.concatenate([
+        np.full(hub_deg, hubs[0]), np.full(hub_deg, hubs[1]),
+        rng.randint(2, n, 5_000)])
+    cols = np.concatenate([
+        rng.choice(n, hub_deg, replace=False),
+        rng.choice(n, hub_deg, replace=False),
+        rng.randint(2, n, 5_000)])
+    keep = rows != cols
+    rows, cols = rows[keep].astype(np.int64), cols[keep].astype(np.int64)
+    keys = rows * n + cols
+    _, idx = np.unique(keys, return_index=True)
+    rows, cols = rows[idx], cols[idx]
+    vals = rng.rand(len(rows))
+    A = Matrix.sparse(types.FP64, 10**9, 10**9)  # force sparse tier
+    A._build(rows, cols, vals)
+    mask = Matrix.sparse(types.BOOL, 10**9, 10**9)
+    # hub-hub mask edges = heavy; some light ones too
+    mr = np.asarray([0, 1, 0] + rows[:50].tolist(), np.int64)
+    mc = np.asarray([1, 0, 2] + cols[:50].tolist(), np.int64)
+    mask._build(mr, mc, np.ones(len(mr), bool))
+    C = A.mxm(A, semiring=sr.PLUS_TIMES_FP64, mask=mask,
+              desc=descriptor.S)
+    # oracle
+    from scipy import sparse as sp
+
+    S = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    P = (S @ S).tocsr()
+    for i, j, v in zip(*C.to_lists()):
+        assert abs(P[i, j] - v) < 1e-9, (i, j, v, P[i, j])
+    got = {(i, j) for i, j in zip(*C.to_lists()[:2])}
+    for i, j in zip(mr.tolist(), mc.tolist()):
+        if P[i, j] != 0 or (i, j) in got:
+            assert (i, j) in got or P[i, j] == 0
