@@ -51,8 +51,14 @@ def main():
         float(jnp.sum(r._vals))  # hard sync through the host
         return time.perf_counter() - start
 
+    print("# warmup (plan build/load + compile + transfer)...",
+          file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
     timed()  # compile + transfer warmup
+    print(f"# warmup done in {time.perf_counter() - t0:.1f}s; timing...",
+          file=sys.stderr, flush=True)
     elapsed = min(timed() for _ in range(3))
+    print(f"# pagerank timed: {elapsed:.3f}s", file=sys.stderr, flush=True)
     nnz_per_s = nnz * iters / elapsed
 
     extras = {}
@@ -79,6 +85,10 @@ def bench_extras():
     from pygraphblas_tpu.generators import rmat_edges, to_matrix
 
     out = {}
+    import sys as _sys
+
+    def _note(msg):
+        print("# " + msg, file=_sys.stderr, flush=True)
 
     # --- fused BFS at kron-18 (low diameter, dense-frontier loop) ----
     scale = int(os.environ.get("BENCH_BFS_SCALE", "18"))
@@ -90,6 +100,7 @@ def bench_extras():
         rows, cols, n = rmat_edges(scale, 16)
         np.savez(cache, rows=rows, cols=cols, n=n)
     A = to_matrix(rows, cols, n, types.BOOL)
+    _note(f"bfs graph ready (scale {scale}); fused bfs compile+run...")
     t0 = time.perf_counter()
     lv = fused.bfs_level(A, 0)
     float(jnp.sum(lv._vals))
@@ -122,21 +133,31 @@ def bench_extras():
         rows, cols = rows[idx], cols[idx]
         np.savez(cache, rows=rows, cols=cols, n=n)
     A = to_matrix(rows, cols, n, types.INT64)
+    _note(f"tc graph ready (scale {scale}); triangle_count...")
     t0 = time.perf_counter()
     ntri = triangle_count(A, "sandia")
+    t_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ntri = triangle_count(A, "sandia")   # warm: executables cached
     t_tc = time.perf_counter() - t0
     out[f"tc_kron_s{scale}"] = {
         "edges_per_s": len(rows) / t_tc, "triangles": int(ntri),
-        "seconds": t_tc}
+        "seconds": t_tc, "first_s": t_first}
 
     # --- batched betweenness centrality (config[3]) ------------------
     from pygraphblas_tpu import fused as _f
 
+    _note("bc4...")
+    Af = A.cast(types.FP32)
     t0 = time.perf_counter()
-    bcv = _f.bc(A.cast(types.FP32), [0, 1, 2, 3])
+    bcv = _f.bc(Af, [0, 1, 2, 3])
+    float(jnp.sum(bcv._vals))
+    t_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    bcv = _f.bc(Af, [4, 5, 6, 7])
     float(jnp.sum(bcv._vals))
     t_bc = time.perf_counter() - t0
-    out[f"bc4_kron_s{scale}"] = {"seconds": t_bc}
+    out[f"bc4_kron_s{scale}"] = {"seconds": t_bc, "first_s": t_first}
     return out
 
 

@@ -96,8 +96,12 @@ class MonoPlan:
         firsts = np.maximum.accumulate(firsts)
         firsts = np.where(firsts < 0, 0, firsts)
         q0 = (firsts >> 7).astype(np.int64)
-        dm = np.where(valid, idxm - (q0[:, None] << 7),
-                      np.int64(-1)).astype(np.int32)
+        dm64 = np.where(valid, idxm - (q0[:, None] << 7), np.int64(-1))
+        # int16 lane deltas when windows are narrow (the common case
+        # after rank-space compaction): halves index traffic, which is
+        # the same volume as the data itself
+        dm = dm64.astype(np.int16) if (n == 0 or dm64.max() < 32767) \
+            else dm64.astype(np.int32)
 
         plan = MonoPlan()
         plan.S = S
@@ -266,7 +270,7 @@ def _mono_pallas(plan, src, fill, vals, mul, fold):
         def do_group(g, _):
             g = g.astype(jnp.int32)
             s0 = g * 8
-            dmg = dm_ref[pl.ds(s0, 8), :]
+            dmg = dm_ref[pl.ds(s0, 8), :].astype(jnp.int32)
             acc = body_group(q0_ref, dmg, x0_ref, x1_ref, q0_base + s0)
             if mul is not None:
                 acc = jnp.where(dmg >= 0, mul(v_ref[pl.ds(s0, 8), :], acc),

@@ -429,14 +429,18 @@ class PermPlan:
 
     # -- execution ----------------------------------------------------------
 
-    def apply(self, x):
-        """Apply the permutation to a 1-D device array of length n.
-        Jit-composable; pure function of (plan arrays, x)."""
+    def apply(self, x, pad_value=0):
+        """Apply the permutation to a 1-D device array of length <= n
+        (missing tail elements read as `pad_value` — lets callers skip a
+        separate pad/concat pass).  Jit-composable."""
         if self.trivial:
+            if x.shape[0] < self.n:
+                x = jnp.concatenate(
+                    [x, jnp.full(self.n - x.shape[0], pad_value, x.dtype)])
             return jnp.take(x, self.src_idx)
         return _apply_staged(x, self.n, self.D, self.S, self.R0, self.K,
                              tuple(self.a_stages), tuple(self.c_stages),
-                             self.ssel)
+                             self.ssel, pad_value)
 
 
 jax.tree_util.register_pytree_node(
@@ -478,6 +482,102 @@ def _lane_gather(x2d, idx8):
         out_specs=pl.BlockSpec((blk, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
     )(idx8, x2d)
+
+
+def _pick_tile_batch(rb):
+    """Largest divisor of rb that is <= 16 (tile-batch per grid step)."""
+    best = 1
+    for b in range(1, min(rb, 16) + 1):
+        if rb % b == 0:
+            best = b
+    return best
+
+
+def _lane_gather_tdesc(x2d, idx8, g, r_l):
+    """Fused descend pass: lane gather + per-group transpose.
+
+    (g*r_l, 128) -> (g*128*(r_l//128), 128) in ONE kernel; the separate
+    XLA transpose pass (a full HBM round trip per level) disappears
+    (PERF.md round-2 roadmap item 1)."""
+    rb = r_l // 128
+    if not _on_tpu() or x2d.dtype.itemsize > 4 or r_l % 128:
+        y = _lane_gather(x2d, idx8)
+        t = y.reshape(g, r_l, 128)
+        t = jnp.swapaxes(t, 1, 2)
+        return t.reshape(g * 128 * rb, 128)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = _pick_tile_batch(rb)
+    x4 = x2d.reshape(g, rb, 128, 128)
+    i4 = idx8.reshape(g, rb, 128, 128)
+
+    def kern(i_ref, x_ref, o_ref):
+        with jax.enable_x64(False):
+            for b in range(B):
+                xt = x_ref[0, b]
+                it = i_ref[0, b].astype(jnp.int32)
+                y = jnp.take_along_axis(xt, it, axis=1)
+                o_ref[0, :, b, :] = y.T
+
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((g, 128, rb, 128), x2d.dtype),
+            grid=(g, rb // B),
+            in_specs=[pl.BlockSpec((1, B, 128, 128),
+                                   lambda gi, bb: (gi, bb, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, B, 128, 128),
+                                   lambda gi, bb: (gi, bb, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 128, B, 128),
+                                   lambda gi, bb: (gi, 0, bb, 0),
+                                   memory_space=pltpu.VMEM),
+        )(i4, x4)
+    return out.reshape(g * 128 * rb, 128)
+
+
+def _lane_gather_tasc(x2d, idx8, g, r_l):
+    """Fused ascend pass: per-group inverse transpose + lane gather.
+
+    (g*128*(r_l//128), 128) -> (g*r_l, 128) in one kernel."""
+    rb = r_l // 128
+    if not _on_tpu() or x2d.dtype.itemsize > 4 or r_l % 128:
+        t = x2d.reshape(g, 128, r_l)
+        t = jnp.swapaxes(t, 1, 2)
+        return _lane_gather(t.reshape(g * r_l, 128), idx8)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = _pick_tile_batch(rb)
+    x4 = x2d.reshape(g, 128, rb, 128)
+    i4 = idx8.reshape(g, rb, 128, 128)
+
+    def kern(i_ref, x_ref, o_ref):
+        with jax.enable_x64(False):
+            for b in range(B):
+                xt = x_ref[0, :, b, :]
+                it = i_ref[0, b].astype(jnp.int32)
+                y = jnp.take_along_axis(xt.T, it, axis=1)
+                o_ref[0, b] = y
+
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((g, rb, 128, 128), x2d.dtype),
+            grid=(g, rb // B),
+            in_specs=[pl.BlockSpec((1, B, 128, 128),
+                                   lambda gi, bb: (gi, bb, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, 128, B, 128),
+                                   lambda gi, bb: (gi, 0, bb, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, B, 128, 128),
+                                   lambda gi, bb: (gi, bb, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )(i4, x4)
+    return out.reshape(g * r_l, 128)
 
 
 def _mid_pass(x3d, a8, ssel8, c8, s):
@@ -532,39 +632,46 @@ def _mid_pass(x3d, a8, ssel8, c8, s):
     )(*args)
 
 
-def _apply_staged(x, n, D, S, R0, K, a_stages, c_stages, ssel):
+def _apply_staged(x, n, D, S, R0, K, a_stages, c_stages, ssel,
+                  pad_value=0):
     dtype = x.dtype
-    # embed: element i -> cell (i//K)*128 + (i%K)
-    pad_n = R0 * K - n
-    xe = jnp.concatenate([x, jnp.zeros((pad_n,), dtype)]) if pad_n else x
+    # embed: element i -> cell (i//K)*128 + (i%K); tail elements beyond
+    # the supplied x (and the embedding pad) read as pad_value
+    pad_n = R0 * K - x.shape[0]
+    xe = jnp.concatenate(
+        [x, jnp.full((pad_n,), pad_value, dtype)]) if pad_n else x
     xe = xe.reshape(R0, K)
     if K < 128:
         xe = jnp.pad(xe, ((0, 0), (0, 128 - K)))
-    # descend: A stages with transposes between levels
+    # descend: A stages with the inter-level transposes fused into the
+    # gather kernels (each fusion removes one full HBM round trip)
     cur = xe                      # (rows_total, 128) at each level
     shapes = []
-    for lvl in range(D):
-        cur = _lane_gather(cur, a_stages[lvl]) if lvl < D - 1 else cur
-        if lvl < D - 1:
-            # transpose to next level: (G, R_l, 128) -> (G, 128, R_l)
-            g_count = cur.shape[0] // (R0 // 128 ** lvl)
-            r_l = R0 // 128 ** lvl
+    for lvl in range(D - 1):
+        r_l = R0 // 128 ** lvl
+        g_count = cur.shape[0] // r_l
+        shapes.append((g_count, r_l))
+        if r_l >= 128:
+            cur = _lane_gather_tdesc(cur, a_stages[lvl], g_count, r_l)
+        else:
+            cur = _lane_gather(cur, a_stages[lvl])
             t = cur.reshape(g_count, r_l, 128)
-            shapes.append((g_count, r_l))
             t = jnp.swapaxes(t, 1, 2)
-            cur = t.reshape(g_count * 128 * (r_l // 128), 128) \
-                if r_l >= 128 else t.reshape(g_count * 128, r_l)
+            cur = t.reshape(g_count * 128, r_l)
     # bottom level: fused A + select + C within (S,128) tiles
     nsub = cur.shape[0] // S
     cur = _mid_pass(cur.reshape(nsub, S, 128), a_stages[D - 1], ssel,
                     c_stages[D - 1], S).reshape(nsub * S, 128)
-    # ascend: inverse transposes + C stages
+    # ascend: inverse transposes fused with the C gathers
     for lvl in range(D - 2, -1, -1):
         g_count, r_l = shapes[lvl]
-        t = cur.reshape(g_count, 128, r_l)
-        t = jnp.swapaxes(t, 1, 2)
-        cur = t.reshape(g_count * r_l, 128)
-        cur = _lane_gather(cur, c_stages[lvl])
+        if r_l >= 128:
+            cur = _lane_gather_tasc(cur, c_stages[lvl], g_count, r_l)
+        else:
+            t = cur.reshape(g_count, 128, r_l)
+            t = jnp.swapaxes(t, 1, 2)
+            cur = _lane_gather(t.reshape(g_count * r_l, 128),
+                               c_stages[lvl])
     # extract
     out = cur[:, :K].reshape(R0 * K)[:n]
     return out

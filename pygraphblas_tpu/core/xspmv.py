@@ -44,7 +44,7 @@ MIN_NNZ = 1 << 15
 # content hash (analogous to the reference's .grb binfile caches,
 # gap/prmark.py:48)
 PLAN_CACHE_DIR = os.environ.get("PYGB_PLAN_CACHE", "/tmp/pygb_plans")
-_PLAN_VERSION = 6
+_PLAN_VERSION = 9
 
 _ADDS = {
     "PLUS": (lambda a, b: a + b, "add"),
@@ -84,8 +84,8 @@ class XSpmvPlan:
     A pytree: plan arrays travel through jit as device-buffer arguments
     (constants of this size overflow the remote-compile transport)."""
 
-    __slots__ = ("nrows", "ncols", "nnz", "dtype", "decode", "perm",
-                 "n_perm", "m1", "vals_col", "levels", "places",
+    __slots__ = ("nrows", "ncols", "nnz", "dtype", "pre", "decode",
+                 "perm", "n_perm", "m1", "vals_col", "levels", "places",
                  "masks", "row_present", "s1")
 
     def _aux(self):
@@ -93,15 +93,17 @@ class XSpmvPlan:
                 self.m1, self.s1, len(self.levels), len(self.places))
 
     def _children(self):
-        return (self.decode, self.perm, self.vals_col, tuple(self.levels),
-                tuple(self.places), tuple(self.masks), self.row_present)
+        return (self.pre, self.decode, self.perm, self.vals_col,
+                tuple(self.levels), tuple(self.places), tuple(self.masks),
+                self.row_present)
 
     @staticmethod
     def _unflatten(aux, children):
         p = XSpmvPlan()
         (p.nrows, p.ncols, p.nnz, p.dtype, p.n_perm, p.m1, p.s1,
          _nl, _np) = aux
-        (p.decode, p.perm, p.vals_col, lv, pl, mk, p.row_present) = children
+        (p.pre, p.decode, p.perm, p.vals_col, lv, pl, mk,
+         p.row_present) = children
         p.levels = list(lv)
         p.places = list(pl)
         p.masks = list(mk)
@@ -147,9 +149,17 @@ class XSpmvPlan:
         p.nrows, p.ncols, p.nnz, p.dtype = nrows, ncols, nnz, dtype
 
         # --- column order: decode plan + values ---------------------------
+        # two-stage decode: compact x to the present column ids first
+        # (1 monotone gather over n), then gather products in RANK space,
+        # where 128 consecutive edges span <= 128 source slots — window
+        # counts stay O(1) regardless of how sparse the touched column
+        # ids are (skew killed the one-stage windows at GAP scale)
         corder = np.lexsort((rows, cols))
         colv = cols[corder]
-        p.decode = MonoPlan.build(colv, ncols, dtype.itemsize)
+        uniq = np.unique(colv)
+        rank = np.searchsorted(uniq, colv)
+        p.pre = MonoPlan.build(uniq, ncols, dtype.itemsize)
+        p.decode = MonoPlan.build(rank, len(uniq), dtype.itemsize)
         vc = np.zeros(p.decode.S * 128, dtype)
         vc[:nnz] = np.asarray(vals, dtype)[corder]
         p.vals_col = jnp.asarray(vc)
@@ -171,11 +181,14 @@ class XSpmvPlan:
         n_perm = max(8 * m1p, p.decode.S * 128)
         p.n_perm = n_perm
 
-        # dst position of edge: k-th edge of row r (col order within row)
+        # dst position of edge: k-th edge of row r (col order within row).
+        # Layout: blocks of (8 slots x 128 groups) so the level-0 8-ary
+        # fold reduces over the SUBLANE dim of (8, 128) vreg tiles — one
+        # in-register op per tile instead of 8 strided 9MB streams.
         k_within = np.arange(nnz) - np.repeat(starts, degs)
         grp = np.repeat(gof, degs) + k_within // 8
         slot = k_within % 8
-        dstpos = slot * m1p + grp                 # position of rorder[i]
+        dstpos = (grp // 128) * 1024 + slot * 128 + (grp % 128)
         # src position (col-order index) of the same edge
         inv_corder = np.empty(nnz, np.int64)
         inv_corder[corder] = np.arange(nnz)
@@ -261,18 +274,18 @@ def xspmv(plan, x, semiring, out_dtype):
     fill = ident[()] if ident.shape == () else ident
 
     xx = x.astype(out_dtype)
-    prod = mono_gather(plan.decode, xx, fill, vals=plan.vals_col, mul=mul)
-    flat = prod.reshape(-1)
-    if plan.n_perm > flat.shape[0]:
-        flat = jnp.concatenate(
-            [flat, jnp.full((plan.n_perm - flat.shape[0],), fill, out_dtype)])
-    moved = plan.perm.apply(flat)[:8 * plan.m1]
-    # level-0 fold: slot-major (8, m1) -> per-group partials
-    fk = moved.reshape(8, plan.m1)
-    acc = fk[0]
+    xc = mono_gather(plan.pre, xx, fill)
+    prod = mono_gather(plan.decode, xc.reshape(-1), fill,
+                       vals=plan.vals_col, mul=mul)
+    # the permutation pads the tail (pad cells map to pad sources) with
+    # the fold identity internally — no separate concat pass
+    moved = plan.perm.apply(prod.reshape(-1), pad_value=fill)[:8 * plan.m1]
+    # level-0 fold: (8 slots x 128 groups) tiles -> sublane-dim reduce
+    fk = moved.reshape(plan.m1 // 128, 8, 128)
+    acc = fk[:, 0, :]
     for s in range(1, 8):
-        acc = fold(acc, fk[s])
-    f_list = [acc]
+        acc = fold(acc, fk[:, s, :])
+    f_list = [acc.reshape(-1)]
     for lp in plan.levels:
         nxt = mono_gather(lp, f_list[-1].reshape(-1), fill, fold=fold)
         f_list.append(nxt.reshape(-1))
