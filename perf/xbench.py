@@ -102,11 +102,13 @@ def main():
                      .astype(np.float32))
 
     def folds(pl, f):
-        fk = f.reshape(8, m1)
-        acc = fk[0]
+        # matches the shipped xspmv layout: (m1//128, 8, 128) tiles,
+        # sublane-dim 8-ary fold
+        fk = f.reshape(m1 // 128, 8, 128)
+        acc = fk[:, 0, :]
         for s in range(1, 8):
-            acc = fold(acc, fk[s])
-        cur = acc
+            acc = fold(acc, fk[:, s, :])
+        cur = acc.reshape(-1)
         for lp in pl.levels:
             cur = mono_gather(lp, cur.reshape(-1), np.float32(0),
                               fold=fold).reshape(-1)
@@ -117,7 +119,7 @@ def main():
     # placements
     def places(pl, f):
         y = jnp.zeros((pl.nrows,), jnp.float32)
-        cur = f.reshape(8, m1)[0]
+        cur = f.reshape(m1 // 128, 8, 128)[:, 0, :].reshape(-1)
         srcs = [cur]
         for lp in pl.levels:
             cur = mono_gather(lp, cur.reshape(-1), np.float32(0),

@@ -350,7 +350,6 @@ def _louvain_local_moves(Wn, kv, two_m, max_iters, nchunks=32, seed=0):
             # stay gain: the g_cand == cur row when present, else the
             # empty-community baseline
             stay_base = -(comm_deg[cur] - ki) * ki / two_m
-            stay = np.full(gain.shape, -np.inf)
             is_cur = g_cand == cur
             stay_per_v = np.full(chunk.size, 0.0)
             has_cur = np.zeros(chunk.size, bool)

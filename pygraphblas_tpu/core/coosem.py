@@ -45,20 +45,24 @@ def _keys(r, c, shift):
     return (np.asarray(r, np.int64) << shift) | np.asarray(c, np.int64)
 
 
+def pair_keys(ra, ca, rb, cb):
+    """Comparable key arrays for two (row, col) pair sets: packed int64
+    when the coordinates fit (fast path), structured pairs otherwise.
+    The single home of the 63-bit overflow guard."""
+    shift = _key_shift(ca, cb)
+    if shift is not None and max(
+            int(ra.max()) if len(ra) else 0,
+            int(rb.max()) if len(rb) else 0).bit_length() + shift < 63:
+        return _keys(ra, ca, shift), _keys(rb, cb, shift)
+    return pairs(ra, ca), pairs(rb, cb)
+
+
 def in_sorted(r, c, sr, sc):
     """Boolean membership of (r, c) pairs in the canonical pair set
     (sr, sc)."""
     if len(sr) == 0 or len(r) == 0:
         return np.zeros(len(r), bool)
-    shift = _key_shift(c, sc)
-    if shift is not None and max(
-            int(r.max()) if len(r) else 0,
-            int(sr.max()) if len(sr) else 0).bit_length() + shift < 63:
-        k = _keys(r, c, shift)
-        sk = _keys(sr, sc, shift)
-    else:
-        k = pairs(r, c)
-        sk = pairs(sr, sc)
+    k, sk = pair_keys(r, c, sr, sc)
     pos = np.searchsorted(sk, k)
     pos_c = np.minimum(pos, len(sk) - 1)
     return (pos < len(sk)) & (sk[pos_c] == k)
@@ -92,15 +96,7 @@ def union_merge(ra, ca, va, rb, cb, vb, both_fn, dtype):
     """Pattern-union merge: both_fn(a, b) on the intersection, a-only and
     b-only entries pass through (cast to dtype).  Inputs canonical;
     output canonical."""
-    shift = _key_shift(ca, cb)
-    if shift is not None and max(
-            int(ra.max()) if len(ra) else 0,
-            int(rb.max()) if len(rb) else 0).bit_length() + shift < 63:
-        ka = _keys(ra, ca, shift)
-        kb = _keys(rb, cb, shift)
-    else:
-        ka = pairs(ra, ca)
-        kb = pairs(rb, cb)
+    ka, kb = pair_keys(ra, ca, rb, cb)
     common, ia, ib = np.intersect1d(ka, kb, assume_unique=True,
                                     return_indices=True)
     matched = np.asarray(both_fn(va[ia], vb[ib])).astype(dtype)

@@ -90,18 +90,9 @@ def ewise(rows_a, cols_a, vals_a, rows_b, cols_b, vals_b, fn, dtype,
           union=True):
     """Element-wise union (eadd) or intersection (emult) of two canonical
     COOs.  `fn` operates on numpy arrays of the matched entries."""
-    from .coosem import _key_shift, _keys, pairs as _cs_pairs
+    from .coosem import pair_keys
 
-    shift = _key_shift(cols_a, cols_b)
-    if shift is not None and max(
-            int(rows_a.max()) if len(rows_a) else 0,
-            int(rows_b.max()) if len(rows_b) else 0).bit_length() \
-            + shift < 63:
-        ka = _keys(rows_a, cols_a, shift)
-        kb = _keys(rows_b, cols_b, shift)
-    else:
-        ka = _pairs(rows_a, cols_a)
-        kb = _pairs(rows_b, cols_b)
+    ka, kb = pair_keys(rows_a, cols_a, rows_b, cols_b)
     common, ia, ib = np.intersect1d(ka, kb, assume_unique=True,
                                     return_indices=True)
     matched = np.asarray(fn(vals_a[ia], vals_b[ib]), dtype)

@@ -199,10 +199,11 @@ def spmv_dense_x(plan, x, semiring, out_dtype):
     return y, plan.row_present
 
 
-@partial(jax.jit, static_argnames=("semiring", "out_dtype", "n_blocks"))
+@partial(jax.jit, static_argnames=("semiring", "out_dtype", "n_blocks",
+                                   "flip_mul"))
 def spmv_masked_x(plan_cols, plan_vals, plan_pad, plan_levels, final_src,
                   n_blocks, row_present, x_vals, x_mask, semiring,
-                  out_dtype):
+                  out_dtype, flip_mul=False):
     """Semiring SpMV with a (vals, mask) x: contributions only from
     present x entries; output mask = rows with >= 1 contribution."""
 
@@ -223,7 +224,10 @@ def spmv_masked_x(plan_cols, plan_vals, plan_pad, plan_levels, final_src,
     xv_ext = jnp.concatenate([x_vals, jnp.zeros((1,), x_vals.dtype)])
     xe = xv_ext[plan_cols]
     valid = jnp.logical_and(plan_pad, xm_ext[plan_cols])
-    prod = mul.apply(plan_vals.astype(out_dtype), xe.astype(out_dtype))
+    if flip_mul:
+        prod = mul.apply(xe.astype(out_dtype), plan_vals.astype(out_dtype))
+    else:
+        prod = mul.apply(plan_vals.astype(out_dtype), xe.astype(out_dtype))
     if add in ("LOR", "LAND", "ANY"):
         pb = jnp.logical_and(valid, prod != 0 if prod.dtype != jnp.bool_
                              else prod)
@@ -246,8 +250,9 @@ def spmv_masked_x(plan_cols, plan_vals, plan_pad, plan_levels, final_src,
     return y, y_mask
 
 
-def run_spmv_masked(plan, x_vals, x_mask, semiring, out_dtype):
+def run_spmv_masked(plan, x_vals, x_mask, semiring, out_dtype,
+                    flip_mul=False):
     return spmv_masked_x(plan.cols_p, plan.vals_p, plan.pad_mask,
                          tuple(plan.levels), plan.final_src, plan.n_blocks,
                          plan.row_present, x_vals, x_mask, semiring,
-                         np.dtype(out_dtype))
+                         np.dtype(out_dtype), flip_mul)

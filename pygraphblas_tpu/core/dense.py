@@ -305,10 +305,12 @@ def mxm(a_vals, a_mask, b_vals, b_mask, semiring, out_dtype):
     t_mask = _f32_pattern_matmul(a_mask, b_mask)
 
     # --- MXU-lowerable algebras -------------------------------------------
-    if add == "PLUS" and mul == "PAIR" and not is_bool_out:
-        # structural counts: always exact in float (count <= k <= 2^24
-        # for any bitmap-tier k), so ride BLAS/MXU instead of the
-        # integer matmul XLA lowers to a naive loop
+    if add == "PLUS" and mul == "PAIR" and not is_bool_out \
+            and (jax.default_backend() != "tpu" or k <= (1 << 24)):
+        # structural counts: exact in float while count <= k fits the
+        # mantissa (f64 on CPU covers any k; f32 on TPU needs k <= 2^24,
+        # else fall through to the generic integer path), riding
+        # BLAS/MXU instead of the naive-loop integer matmul
         acc = jnp.float32 if jax.default_backend() == "tpu" \
             else jnp.float64
         prod = jnp.matmul(a_mask.astype(acc), b_mask.astype(acc),

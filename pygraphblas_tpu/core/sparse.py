@@ -115,9 +115,10 @@ def coo_segment_reduce_compact(ids_host, vals_host, monoid, out_dtype):
     return uids, np.asarray(tv)[:nseg].astype(out_dtype)
 
 
-@partial(jax.jit, static_argnames=("semiring", "out_dtype", "out_size"))
+@partial(jax.jit, static_argnames=("semiring", "out_dtype", "out_size",
+                                   "flip_mul"))
 def coo_spmv(ids_out, ids_in, vals, x_vals, x_mask, semiring, out_dtype,
-             out_size):
+             out_size, flip_mul=False):
     """Generalized semiring SpMV over COO triples.
 
     y[i] = add-reduce over entries e with ids_out[e]==i of
@@ -131,8 +132,17 @@ def coo_spmv(ids_out, ids_in, vals, x_vals, x_mask, semiring, out_dtype,
     xg = x_vals[ids_in]
     present = x_mask[ids_in]
     if mul.positional:
-        pos = dict(i0=ids_out, j0=ids_in, i1=ids_in, j1=jnp.zeros_like(ids_in))
+        # operand roles: mxv y=A.x -> first=A (i0=row=out, j0=col=in),
+        # second=x (i1=in, j1=0); vxm w=x'.A (flip_mul) -> first=x'
+        # (i0=0, j0=in), second=A (i1=in row, j1=out col)
+        z = jnp.zeros_like(ids_in)
+        if flip_mul:
+            pos = dict(i0=z, j0=ids_in, i1=ids_in, j1=ids_out)
+        else:
+            pos = dict(i0=ids_out, j0=ids_in, i1=ids_in, j1=z)
         prod = mul.apply(None, None, pos).astype(out_dtype)
+    elif flip_mul:
+        prod = mul.apply(xg.astype(out_dtype), vals.astype(out_dtype))
     else:
         prod = mul.apply(vals.astype(out_dtype), xg.astype(out_dtype))
     ident = jnp.asarray(semiring.add_monoid.identity(out_dtype))

@@ -317,14 +317,12 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
                  int(bt_cols.max()) if len(bt_cols) else 0)
     narrow = maxcol < (1 << 29)
 
+    from .sparse import _next_pow2
+
     def _pow2_pad(arr, dtype):
         # pow2-padded device arrays: iterative algorithms (k-truss)
         # shrink nnz every pass; fixed shape buckets reuse executables
-        n = max(1, len(arr))
-        p2 = 1
-        while p2 < n:
-            p2 *= 2
-        out = np.zeros(p2, dtype)
+        out = np.zeros(_next_pow2(max(1, len(arr))), dtype)
         out[:len(arr)] = arr
         return jnp.asarray(out)
 
@@ -357,10 +355,7 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
         b_cols2 = _as2d(bt_cols if len(bt_cols) else np.zeros(1, np.int64))
 
     def _pow2_len(n, quantum):
-        p2 = quantum
-        while p2 < n:
-            p2 *= 2
-        return p2
+        return max(quantum, _next_pow2(n))
 
     for w in sorted(set(widths[light].tolist())):
         sel = np.nonzero(light & (widths == w))[0]

@@ -48,7 +48,7 @@ def expand_segments(starts, degs):
 
 
 def spmspv(u, s, d, in_sorted_out_ids, in_sorted_vals, fi, fx,
-           semiring, out_dtype):
+           semiring, out_dtype, flip_mul=False):
     """y = A (+.x) x over the frontier (fi, fx).
 
     (u, s, d): unique in-ids / segment starts / degrees of the matrix
@@ -74,29 +74,36 @@ def spmspv(u, s, d, in_sorted_out_ids, in_sorted_vals, fi, fx,
         # identity-free segment fold
         from .sparse import segment_fold_generic
 
-        prod = np.asarray(mul.apply(av, xv))
+        prod = np.asarray(mul.apply(xv, av) if flip_mul
+                          else mul.apply(av, xv))
         order = np.argsort(out_ids, kind="stable")
         return segment_fold_generic(out_ids[order], prod[order],
                                     semiring.add_monoid)
     if np_mul is not None:
+        a1, a2 = (xv, av) if flip_mul else (av, xv)
         if out_dtype == np.bool_:
-            prod = np_mul(av.astype(bool), xv.astype(bool))\
+            prod = np_mul(a1.astype(bool), a2.astype(bool))\
                 .astype(out_dtype)
         else:
-            prod = np_mul(av.astype(out_dtype),
-                          xv.astype(out_dtype)).astype(out_dtype)
+            prod = np_mul(a1.astype(out_dtype),
+                          a2.astype(out_dtype)).astype(out_dtype)
     elif mul.positional:
         # same operand-role convention as core/sparse.py coo_spmv
         in_ids = fi[ent]
-        pos = dict(i0=jnp.asarray(out_ids), j0=jnp.asarray(in_ids),
-                   i1=jnp.asarray(in_ids), j1=jnp.zeros(len(in_ids),
-                                                        jnp.int64))
+        z = np.zeros(len(in_ids), np.int64)
+        if flip_mul:   # vxm: first = x' (row vector), second = A
+            pos = dict(i0=jnp.asarray(z), j0=jnp.asarray(in_ids),
+                       i1=jnp.asarray(in_ids), j1=jnp.asarray(out_ids))
+        else:          # mxv: first = A, second = x
+            pos = dict(i0=jnp.asarray(out_ids), j0=jnp.asarray(in_ids),
+                       i1=jnp.asarray(in_ids), j1=jnp.asarray(z))
         prod = np.asarray(mul.apply(None, None, pos)).astype(out_dtype)
         prod = np.broadcast_to(prod, out_ids.shape).copy() \
             if prod.shape != out_ids.shape else prod
     else:
+        a1, a2 = (xv, av) if flip_mul else (av, xv)
         prod = np.asarray(mul.apply(
-            jnp.asarray(av.astype(out_dtype)),
-            jnp.asarray(xv.astype(out_dtype)))).astype(out_dtype)
+            jnp.asarray(a1.astype(out_dtype)),
+            jnp.asarray(a2.astype(out_dtype)))).astype(out_dtype)
     return coo_segment_reduce_compact(out_ids, prod, semiring.add_monoid,
                                       out_dtype)

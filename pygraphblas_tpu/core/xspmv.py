@@ -264,12 +264,17 @@ jax.tree_util.register_pytree_node(
     XSpmvPlan._unflatten)
 
 
-def xspmv(plan, x, semiring, out_dtype):
-    """Execute y = A (add.mul) x with dense x; returns (y, present_mask)."""
+def xspmv(plan, x, semiring, out_dtype, flip_mul=False):
+    """Execute y = A (add.mul) x with dense x; returns (y, present_mask).
+
+    flip_mul: the multiply's operand roles are (x, A) instead of (A, x)
+    — required by vxm with non-commutative muls."""
     out_dtype = np.dtype(out_dtype)
     addop = semiring.add_monoid.binaryop.op
     fold = _ADDS[addop][0]
     mul = _MULS[semiring.mul_op.op]
+    if flip_mul:
+        mul = (lambda m: lambda a, b: m(b, a))(mul)
     ident = np.asarray(semiring.add_monoid.identity(out_dtype))
     fill = ident[()] if ident.shape == () else ident
 

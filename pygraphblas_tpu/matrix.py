@@ -1074,6 +1074,10 @@ class Matrix:
         array([[  0,  42],
                [149,   0]])
         """
+        self._flush()
+        if self._fmt == "bitmap":
+            v, m = self._host_pair()
+            return np.where(m, v, np.zeros((), v.dtype))
         if self._nrows * self._ncols > self._SCALAR_FILL_BUDGET:
             raise InsufficientSpace("matrix too large to densify")
         r, c, v = self._coo()
@@ -1936,7 +1940,7 @@ class Matrix:
         return self._ell_c[key]
 
     def _sparse_mxv(self, other, semiring, out, mask, accum, desc,
-                    transpose):
+                    transpose, flip_mul=False):
         """SpMV for huge matrices: the gather-free xspmv pipeline for a
         dense x when its plan is warm (or forced), else the scatter-free
         csr8 gather-pyramid kernel, else COO segment reduce."""
@@ -1957,7 +1961,8 @@ class Matrix:
             u, s, d, oids, vals = self._host_csr(not transpose)
             from .core.spmspv import spmspv
 
-            uids, red = spmspv(u, s, d, oids, vals, fi, fx, semiring, zt)
+            uids, red = spmspv(u, s, d, oids, vals, fi, fx, semiring, zt,
+                               flip_mul=flip_mul)
             return out._coo_writeback(out, uids,
                                       red.astype(out.type._numpy_t),
                                       mask, accum, desc)
@@ -1971,9 +1976,11 @@ class Matrix:
                     "positional mul against huge iso vectors TBD")
             r, c, v = self._coo()
             ids = c if transpose else r
-            prod = np.asarray(mul.apply(
-                jnp.asarray(v.astype(zt)),
-                jnp.asarray(np.full(len(v), other._iso_v, zt))))
+            a1 = jnp.asarray(v.astype(zt))
+            a2 = jnp.asarray(np.full(len(v), other._iso_v, zt))
+            if flip_mul:
+                a1, a2 = a2, a1
+            prod = np.asarray(mul.apply(a1, a2))
             uids, red = sk.coo_segment_reduce_compact(
                 ids, prod, semiring.add_monoid, zt)
             return out._coo_writeback(out, uids,
@@ -1988,15 +1995,16 @@ class Matrix:
                       or (self._ell_c is not None and xkey in self._ell_c)))
         if use_x:
             tv, tm = xs.xspmv(self._xspmv_plan(transpose, zt),
-                              xv.astype(zt), semiring, zt)
+                              xv.astype(zt), semiring, zt,
+                              flip_mul=flip_mul)
         elif pk.plan_supported(semiring):
             tv, tm = pk.run_spmv_masked(self._spmv_plan(transpose), xv, xm,
-                                        semiring, zt)
+                                        semiring, zt, flip_mul=flip_mul)
         else:
             rows, cols, vals = self._device_coo()
             ids_out, ids_in = (cols, rows) if transpose else (rows, cols)
             tv, tm = sk.coo_spmv(ids_out, ids_in, vals, xv, xm, semiring,
-                                 zt, out.size)
+                                 zt, out.size, flip_mul=flip_mul)
         return out._writeback(out, tv, tm, mask, accum, desc)
 
     def _host_csr(self, in_is_col):

@@ -289,10 +289,13 @@ def dist_triangle_count(mesh, nrows, rows, cols, block_dense_limit=1 << 24):
 
     nb = math.lcm(pi, pj)
     b = _cdiv(nrows, nb)
-    if b * b > block_dense_limit:
+    if b * b > block_dense_limit or (nb * b) ** 2 > (1 << 33):
+        # the guard bounds BOTH the per-device tile and the total padded
+        # grid (the dense-block formulation materializes (nb*b)^2 cells
+        # across the mesh; adding devices must not unlock O(n^2) blowup)
         raise NotImplementedError(
-            "dist_triangle_count bitmap blocks exceed the dense budget; "
-            "shard over more devices")
+            "dist_triangle_count dense blocks exceed the memory budget "
+            "for this graph size")
 
     tiles = np.zeros((nb, nb, b, b), np.float32)
     bi, bj = rows // b, cols // b

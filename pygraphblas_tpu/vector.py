@@ -454,10 +454,10 @@ class Vector:
             if len(ti):
                 # pad to pow2 so drifting frontier sizes reuse compiled
                 # scatters; pad indices are out of bounds -> dropped
+                from .core.sparse import _next_pow2
+
                 n = len(ti)
-                np2 = 1
-                while np2 < n:
-                    np2 *= 2
+                np2 = _next_pow2(n)
                 idx_p = np.full(np2, out.size, np.int64)
                 idx_p[:n] = np.asarray(ti, np.int64)
                 val_p = np.zeros(np2, out.type._numpy_t)
@@ -1219,8 +1219,9 @@ class Vector:
             semiring = out.type._default_semiring()
         if other._fmt == "coo" and not Matrix._fits_bitmap(
                 other.nrows, other.ncols, other.type):
+            # vxm: the multiply's FIRST operand is the vector element
             return other._sparse_mxv(self, semiring, out, mask, accum, desc,
-                                     transpose=not desc.inp1)
+                                     transpose=not desc.inp1, flip_mul=True)
         bv, bm = other._dense_pair(desc.inp1)
         xv, xm = self._dense_pair()
         tv, tm = dk.mxm(xv[None, :], xm[None, :], bv, bm, semiring,

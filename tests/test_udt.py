@@ -116,9 +116,10 @@ def test_struct_udt_bellman_ford():
         return {"w": jnp.where(take_x, x["w"], y["w"]),
                 "pi": jnp.where(take_x, x["pi"], y["pi"])}
 
-    def plus_carry(a, x):
-        # a = edge (weight, its source vertex); x = frontier (dist, _)
-        return {"w": a["w"] + x["w"], "pi": a["pi"]}
+    def plus_carry(x, a):
+        # vxm operand roles (GrB): first = frontier element (dist, _),
+        # second = matrix edge (weight, its source vertex)
+        return {"w": x["w"] + a["w"], "pi": a["pi"]}
 
     MIN = BinaryOp("MINC", "DistPi", fn=min_combine, udt=DistPi,
                    attach=False)

@@ -235,3 +235,25 @@ def test_random_seeded():
     a = Vector.random(types.FP64, 10, 20, seed=7)
     b = Vector.random(types.FP64, 10, 20, seed=7)
     assert a.iseq(b)
+
+
+def test_vxm_non_commutative_sparse_matches_dense():
+    """vxm must compute mul(x_k, A_kj) — operand roles caught wrong on
+    the sparse tier in the round-2 review."""
+    from pygraphblas_tpu.base import config
+
+    M = Matrix.from_lists([0, 1, 2], [1, 2, 0], [10, 20, 30])
+    v = Vector.from_list([2, 3, 4])
+    dense = v.vxm(M, types.INT64.PLUS_SECOND).to_lists()
+    old = config.bitmap_max_cells
+    config.bitmap_max_cells = 1
+    try:
+        sparse = v.vxm(M, types.INT64.PLUS_SECOND).to_lists()
+        sparse_first = v.vxm(M, types.INT64.PLUS_FIRST).to_lists()
+        sparse_minus = v.vxm(M, types.INT64.MIN_MINUS).to_lists()
+    finally:
+        config.bitmap_max_cells = old
+    assert sparse == dense == [[0, 1, 2], [30, 10, 20]]
+    assert sparse_first == [[0, 1, 2], [4, 2, 3]]
+    dense_minus = v.vxm(M, types.INT64.MIN_MINUS).to_lists()
+    assert sparse_minus == dense_minus
