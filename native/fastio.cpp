@@ -19,6 +19,7 @@
 #include <cstring>
 #include <string>
 #include <vector>
+#include <thread>
 
 namespace {
 
@@ -339,16 +340,10 @@ static void benes_orient(BenesCtx& c, const int32_t* uu, const int32_t* vv,
   }
 }
 
-static void benes_rec(BenesCtx& c, int32_t* uu, int32_t* vv, int32_t* eid,
-                      int64_t n, int bits) {
-  if (bits == 0) {
-    uint8_t col = (uint8_t)c.next_color++;
-    for (int64_t i = 0; i < n; ++i) c.color[eid[i]] = col;
-    return;
-  }
+// orient + stable partition by bit; returns the size of the bit-0 half
+static int64_t benes_split(BenesCtx& c, int32_t* uu, int32_t* vv,
+                           int32_t* eid, int64_t n) {
   benes_orient(c, uu, vv, n);
-  int64_t n0 = 0, n1 = n - 1 + 1;
-  // stable partition of (uu, vv, eid) by bit, via scratch
   int64_t j0 = 0, j1 = 0;
   for (int64_t i = 0; i < n; ++i) {
     if (c.bit[i] == 0) {
@@ -357,13 +352,63 @@ static void benes_rec(BenesCtx& c, int32_t* uu, int32_t* vv, int32_t* eid,
       c.su[j1] = uu[i]; c.sv[j1] = vv[i]; c.sid[j1] = eid[i]; ++j1;
     }
   }
-  n0 = j0;
-  memcpy(uu + n0, c.su.data(), j1 * sizeof(int32_t));
-  memcpy(vv + n0, c.sv.data(), j1 * sizeof(int32_t));
-  memcpy(eid + n0, c.sid.data(), j1 * sizeof(int32_t));
-  (void)n1;
-  benes_rec(c, uu, vv, eid, n0, bits - 1);
-  benes_rec(c, uu + n0, vv + n0, eid + n0, n - n0, bits - 1);
+  memcpy(uu + j0, c.su.data(), j1 * sizeof(int32_t));
+  memcpy(vv + j0, c.sv.data(), j1 * sizeof(int32_t));
+  memcpy(eid + j0, c.sid.data(), j1 * sizeof(int32_t));
+  return j0;
+}
+
+static void benes_init_ctx(BenesCtx& c, int64_t nkeys, int64_t m,
+                           uint8_t* color) {
+  c.seg.assign(nkeys, 0);
+  c.fill.assign(nkeys, 0);
+  c.adj.resize(2 * m);
+  c.eslot.resize(2 * m);
+  c.vis.assign(m, 0);
+  c.bit.assign(m, 0);
+  c.su.resize(m);
+  c.sv.resize(m);
+  c.sid.resize(m);
+  c.color = color;
+}
+
+// colors assigned by bit path (level-0 split = MSB), matching the
+// sequential DFS leaf order
+static void benes_rec(BenesCtx& c, int32_t* uu, int32_t* vv, int32_t* eid,
+                      int64_t n, int bits, int32_t base) {
+  if (bits == 0) {
+    uint8_t col = (uint8_t)base;
+    for (int64_t i = 0; i < n; ++i) c.color[eid[i]] = col;
+    return;
+  }
+  int64_t n0 = benes_split(c, uu, vv, eid, n);
+  benes_rec(c, uu, vv, eid, n0, bits - 1, base);
+  benes_rec(c, uu + n0, vv + n0, eid + n0, n - n0, bits - 1,
+            base + (1 << (bits - 1)));
+}
+
+// parallel top levels: after a split the halves are independent
+// subproblems; each thread gets its own context (no shared state)
+static void benes_par(int32_t* uu, int32_t* vv, int32_t* eid, int64_t n,
+                      int bits, int32_t base, int64_t nkeys,
+                      uint8_t* color, int depth) {
+  if (depth <= 0 || bits == 0 || n < (1 << 20)) {
+    BenesCtx c;
+    benes_init_ctx(c, nkeys, n, color);
+    benes_rec(c, uu, vv, eid, n, bits, base);
+    return;
+  }
+  int64_t n0;
+  {
+    BenesCtx c;
+    benes_init_ctx(c, nkeys, n, color);
+    n0 = benes_split(c, uu, vv, eid, n);
+  }  // free the parent context before spawning children
+  std::thread t(benes_par, uu, vv, eid, n0, bits - 1, base, nkeys, color,
+                depth - 1);
+  benes_par(uu + n0, vv + n0, eid + n0, n - n0, bits - 1,
+            base + (1 << (bits - 1)), nkeys, color, depth - 1);
+  t.join();
 }
 
 // benes_color(u_bytes:int32, v_bytes:int32, n_left, n_right, bits)
@@ -384,23 +429,15 @@ PyObject* py_benes_color(PyObject*, PyObject* args) {
   std::vector<uint8_t> color(m);
   {
     Py_BEGIN_ALLOW_THREADS
-    BenesCtx c;
     int64_t nkeys = 2 * (int64_t)std::max(nl, nr) + 2;
-    c.seg.assign(nkeys, 0);
-    c.fill.assign(nkeys, 0);
-    c.adj.resize(2 * m);
-    c.eslot.resize(2 * m);
-    c.vis.assign(m, 0);
-    c.bit.assign(m, 0);
-    c.su.resize(m);
-    c.sv.resize(m);
-    c.sid.resize(m);
-    c.color = color.data();
     std::vector<int32_t> uu((const int32_t*)ub.buf, (const int32_t*)ub.buf + m);
     std::vector<int32_t> vv((const int32_t*)vb.buf, (const int32_t*)vb.buf + m);
     std::vector<int32_t> eid(m);
     for (int64_t i = 0; i < m; ++i) eid[i] = (int32_t)i;
-    benes_rec(c, uu.data(), vv.data(), eid.data(), m, bits);
+    unsigned hc = std::thread::hardware_concurrency();
+    int depth = hc >= 8 ? 3 : hc >= 4 ? 2 : hc >= 2 ? 1 : 0;
+    benes_par(uu.data(), vv.data(), eid.data(), m, bits, 0, nkeys,
+              color.data(), depth);
     Py_END_ALLOW_THREADS
   }
   PyBuffer_Release(&ub);
