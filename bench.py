@@ -161,5 +161,39 @@ def bench_extras():
     return out
 
 
+def supervised():
+    """Run main() in a child process with a deadline and one retry.
+
+    The remote-TPU tunnel occasionally wedges a single client connection
+    (blocked forever before the first transfer); a fresh process always
+    reconnects cleanly, so a supervisor + retry makes the benchmark
+    robust against it."""
+    import subprocess
+
+    deadline = int(os.environ.get("BENCH_DEADLINE", "2400"))
+    for attempt in range(2):
+        env = dict(os.environ, BENCH_INNER="1")
+        try:
+            res = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__)],
+                env=env, timeout=deadline, capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            print(f"# attempt {attempt}: deadline {deadline}s exceeded "
+                  "(tunnel wedge?); retrying in a fresh process",
+                  file=sys.stderr, flush=True)
+            continue
+        sys.stderr.write(res.stderr)
+        out = [ln for ln in res.stdout.splitlines() if ln.startswith("{")]
+        if res.returncode == 0 and out:
+            print(out[-1])
+            return
+        print(f"# attempt {attempt}: exit {res.returncode}",
+              file=sys.stderr, flush=True)
+    raise SystemExit("bench failed after retries")
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_INNER"):
+        main()
+    else:
+        supervised()
