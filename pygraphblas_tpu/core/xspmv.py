@@ -279,9 +279,21 @@ def xspmv(plan, x, semiring, out_dtype, flip_mul=False):
     fill = ident[()] if ident.shape == () else ident
 
     xx = x.astype(out_dtype)
-    xc = mono_gather(plan.pre, xx, fill)
-    prod = mono_gather(plan.decode, xc.reshape(-1), fill,
-                       vals=plan.vals_col, mul=mul)
+    mul_name = semiring.mul_op.op
+    if mul_name == "FIRST" and addop == "PLUS":
+        # product = matrix value: the column-order values ARE the
+        # products; no x decode at all.  (PLUS only: vals_col pads are
+        # zeros, which must equal the fold identity.)
+        prod = plan.vals_col
+    elif mul_name == "SECOND":
+        # product = x value: skip the matrix-values read entirely
+        # (PageRank's plus_second saves a full nnz-sized stream)
+        xc = mono_gather(plan.pre, xx, fill)
+        prod = mono_gather(plan.decode, xc.reshape(-1), fill)
+    else:
+        xc = mono_gather(plan.pre, xx, fill)
+        prod = mono_gather(plan.decode, xc.reshape(-1), fill,
+                           vals=plan.vals_col, mul=mul)
     # the permutation pads the tail (pad cells map to pad sources) with
     # the fold identity internally — no separate concat pass
     moved = plan.perm.apply(prod.reshape(-1), pad_value=fill)[:8 * plan.m1]
