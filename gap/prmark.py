@@ -25,7 +25,14 @@ def main():
                    help="load a .npz binary checkpoint instead of generating")
     p.add_argument("--eager", action="store_true",
                    help="use the eager per-op path instead of the fused loop")
+    p.add_argument("--engine", default=None, choices=["auto", "csr8", "xspmv"],
+                   help="SpMV engine (csr8 skips the minutes-long xspmv "
+                        "plan build; right choice for one-shot runs)")
     args = p.parse_args()
+
+    if args.engine:
+        from pygraphblas_tpu.base import options_set
+        options_set(spmv_engine=args.engine)
 
     from pygraphblas_tpu import types, fused
     from pygraphblas_tpu.matrix import Matrix
@@ -52,6 +59,10 @@ def main():
         else:  # whole-loop-fused production path
             result = fused.pagerank(A, damping=0.85, itermax=100, tol=1e-4)
         result.wait()
+        # hard sync: block_until_ready does not reliably block through
+        # the remote-TPU tunnel; a host value pull does
+        import jax.numpy as jnp
+        float(jnp.sum(result._dense_pair()[0]))
         elapsed = time.perf_counter() - start
         times.append(elapsed)
         print(f"round {r}: {elapsed:.4f}s")
