@@ -279,7 +279,12 @@ def xspmv(plan, x, semiring, out_dtype, flip_mul=False):
     fill = ident[()] if ident.shape == () else ident
 
     xx = x.astype(out_dtype)
+    # effective mul under flipped operand roles: vxm passes flip_mul=True,
+    # where FIRST selects the vector element and SECOND the matrix element
     mul_name = semiring.mul_op.op
+    if flip_mul:
+        mul_name = {"FIRST": "SECOND", "SECOND": "FIRST"}.get(
+            mul_name, mul_name)
     if mul_name == "FIRST" and addop == "PLUS":
         # product = matrix value: the column-order values ARE the
         # products; no x decode at all.  (PLUS only: vals_col pads are

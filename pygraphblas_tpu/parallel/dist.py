@@ -152,6 +152,11 @@ class DistSpMV:
         cols_l = cols_l.reshape(pi, pj, E)
         vals_l = vals_l.reshape(pi, pj, E)
 
+        # rows with at least one contribution: the output pattern of a
+        # GraphBLAS mxv only contains such rows (advisor r2 medium)
+        self.row_present_host = np.zeros(self.nrows_p, bool)
+        self.row_present_host[rows] = True
+
         tile_spec = NamedSharding(mesh, P("i", "j", None))
         self.rows_l = jax.device_put(rows_l, tile_spec)
         self.cols_l = jax.device_put(cols_l, tile_spec)
@@ -378,7 +383,9 @@ class DistMatrix:
         y = np.asarray(ex(jax.device_put(xp, ex.x_spec)))
         n_out = self.ncols if transpose else self.nrows
         out = Vector.sparse(semiring.ztype, n_out)
-        out._build(np.arange(n_out, dtype=np.int64), y[:n_out])
+        present = ex.row_present_host[:n_out]
+        ids = np.nonzero(present)[0].astype(np.int64)
+        out._build(ids, y[:n_out][present])
         return out
 
     def pagerank(self, damping=0.85, itermax=100, tol=1e-4):

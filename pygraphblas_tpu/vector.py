@@ -1080,6 +1080,39 @@ class Vector:
                     jnp.zeros((1,), jnp.bool_))
         return self._dense_pair()
 
+    def _iso_reduce(self, mon):
+        """Closed-form fold of an O(1) iso vector (n copies of one value)
+        for the standard monoids; None when not applicable.  Keeps
+        ``Vector.iso(...).reduce()`` O(1) at any size (advisor r2 low)."""
+        self._flush()
+        if self._fmt != "iso":
+            return None
+        op = mon.binaryop.op
+        v = self._iso_v
+        n = self._size
+        if op in ("MIN", "MAX", "ANY", "LOR", "LAND", "BOR", "BAND"):
+            return v  # idempotent
+        npdt = np.dtype(self.type._numpy_t)
+
+        def _wrap(r):
+            bits = npdt.itemsize * 8
+            r %= 1 << bits
+            if npdt.kind == "i" and r >= 1 << (bits - 1):
+                r -= 1 << bits
+            return npdt.type(r)
+
+        if op == "PLUS":
+            if npdt.kind in "iu":
+                return _wrap(int(v) * n)
+            return npdt.type(v * n)
+        if op == "TIMES":
+            if npdt.kind in "iu":
+                return _wrap(pow(int(v), n, 1 << (npdt.itemsize * 8)))
+            return npdt.type(np.float64(v) ** n)
+        if op in ("LXOR", "BXOR"):
+            return npdt.type(v if n % 2 else 0)
+        return None
+
     @_timed("Vector.reduce")
     def reduce(self, mon=None, accum=None, desc=None):
         """Type-generic reduce to a scalar of this vector's type.
@@ -1104,8 +1137,14 @@ class Vector:
                 v = (merged if k == len(v)
                      else np.concatenate([merged, v[k:]]))
             return self.type._to_value(v[0])
-        v, m = self._reduce_pair()
         from .matrix import _reduce_accum
+        iso_r = self._iso_reduce(mon)
+        if iso_r is not None:
+            return self.type._to_value(
+                np.asarray(_reduce_accum(accum, np.asarray(iso_r),
+                                         self.type._numpy_t))
+                .astype(self.type._numpy_t))
+        v, m = self._reduce_pair()
         r = np.asarray(dk.reduce_all(v, m, mon)).astype(self.type._numpy_t)
         return self.type._to_value(
             np.asarray(_reduce_accum(accum, r, self.type._numpy_t))
@@ -1121,6 +1160,9 @@ class Vector:
             mon = current_monoid.get(None) or types.BOOL.LOR_MONOID
         _, accum, desc = self._get_args(None, accum, desc)
         from .matrix import _reduce_accum
+        iso_r = self._iso_reduce(mon)
+        if iso_r is not None:
+            return bool(_reduce_accum(accum, np.bool_(iso_r), np.bool_))
         v, m = self._reduce_pair()
         r = dk.reduce_all(
             v if v.dtype == jnp.bool_ else v.astype(jnp.bool_), m, mon)
@@ -1136,6 +1178,9 @@ class Vector:
             mon = current_monoid.get(None) or types.INT64.PLUS_MONOID
         _, accum, desc = self._get_args(None, accum, desc)
         from .matrix import _reduce_accum
+        iso_r = self._iso_reduce(mon)
+        if iso_r is not None:
+            return int(_reduce_accum(accum, np.int64(iso_r), np.int64))
         v, m = self._reduce_pair()
         r = dk.reduce_all(v.astype(jnp.int64), m, mon)
         return int(_reduce_accum(accum, r, np.int64))
@@ -1150,6 +1195,10 @@ class Vector:
             mon = current_monoid.get(None) or self.type.PLUS_MONOID
         _, accum, desc = self._get_args(None, accum, desc)
         from .matrix import _reduce_accum
+        iso_r = self._iso_reduce(mon)
+        if iso_r is not None:
+            return float(_reduce_accum(accum, np.float64(iso_r),
+                                       np.float64))
         v, m = self._reduce_pair()
         r = dk.reduce_all(v.astype(jnp.float64), m, mon)
         return float(_reduce_accum(accum, r, np.float64))

@@ -98,6 +98,27 @@ def test_matrix_shard_mxv_and_tc():
     assert D.triangle_count() == sum(nx.triangles(G).values()) // 3
 
 
+def test_dist_mxv_output_pattern():
+    """DistMatrix.mxv output contains only rows with contributions —
+    no identity-valued explicit entries (advisor r2 medium)."""
+    import numpy as np
+    from pygraphblas_tpu import Matrix, types
+    from pygraphblas_tpu.parallel.dist import make_mesh
+
+    # rows 0 and 5 have entries; everything else is empty
+    A = Matrix.sparse(types.FP32, 64, 64)
+    A._build(np.asarray([0, 0, 5], np.int64),
+             np.asarray([1, 2, 3], np.int64),
+             np.asarray([1.0, 2.0, 3.0], np.float32))
+    D = A.shard(make_mesh(8))
+    x = np.ones(64, np.float32)
+    y = D.mxv(x, semiring=types.FP32.MIN_TIMES)
+    assert y.nvals == 2
+    assert y[0] == 1.0 and y[5] == 3.0
+    idx, _ = y.to_lists()
+    assert list(idx) == [0, 5]
+
+
 def test_matrix_shard_pagerank():
     import numpy as np
     import networkx as nx

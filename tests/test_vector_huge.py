@@ -29,6 +29,21 @@ def test_iso_vector_o1_at_2_60():
     assert v[2**59] == 1
 
 
+def test_iso_reduce_closed_form_at_2_60():
+    """reduce() on an O(1) iso vector folds in closed form at any size
+    (advisor r2 low: the docstring promised this; now it's true)."""
+    v = Vector.iso(3, 2**60)
+    assert v.reduce_int() == 3 * 2**60          # PLUS over n copies
+    assert v.reduce_int(types.INT64.MIN_MONOID) == 3   # idempotent
+    assert v.reduce_int(types.INT64.MAX_MONOID) == 3
+    f = Vector.iso(1.5, 2**40)
+    assert f.reduce_float() == 1.5 * 2**40
+    assert Vector.iso(True, 2**60).reduce_bool() is True
+    # int PLUS wraps modulo 2^bits like a hardware fold would
+    w = Vector.iso(np.int8(3), 2**20)
+    assert w.reduce(types.INT8.PLUS_MONOID) == np.int8(3 * 2**20 % 256)
+
+
 def test_out_degree_at_2_60():
     M = Matrix.sparse(types.FP32)      # unbounded dims = 2^60
     ii = np.asarray([0, 0, 5, 2**40], np.int64)

@@ -67,6 +67,53 @@ def test_xspmv_oracle(sem_name, n_r, n_c, nnz, monkeypatch):
     assert np.allclose(y[mask], want[mask], rtol=1e-5)
 
 
+@pytest.mark.parametrize("sem_name", ["PLUS_FIRST", "PLUS_SECOND",
+                                      "MIN_FIRST", "MAX_SECOND"])
+def test_xspmv_flip_mul_oracle(sem_name, monkeypatch):
+    """flip_mul=True (the vxm operand order) must swap FIRST/SECOND
+    roles in the fast paths too (advisor round-2 high finding)."""
+    monkeypatch.setattr(X, "MIN_NNZ", 1)
+    n = 700
+    r, c, v, rng = _rand_coo(n, n, 9000, 77)
+    sem = getattr(types.FP32, sem_name)
+    plan = X.XSpmvPlan.build(r, c, v, n, n, np.float32)
+    x = rng.rand(n).astype(np.float32)
+    y, present = X.xspmv(plan, jnp.asarray(x), sem, np.float32,
+                         flip_mul=True)
+    y, present = np.asarray(y), np.asarray(present)
+    mulf = _MUL[sem.mul_op.op]
+    want, mask = _oracle(r, c, v, n, n, x,
+                         _ADD[sem.add_monoid.binaryop.op],
+                         lambda a, b: mulf(b, a))
+    assert np.array_equal(present, mask)
+    assert np.allclose(y[mask], want[mask], rtol=1e-5)
+
+
+def test_vxm_first_second_xspmv(monkeypatch):
+    """End-to-end vxm with PLUS_FIRST/PLUS_SECOND through the xspmv
+    engine matches the csr8 engine (advisor repro, reduced size)."""
+    monkeypatch.setattr(X, "MIN_NNZ", 1)
+    from pygraphblas_tpu import Vector
+    n = 800
+    r, c, v, rng = _rand_coo(n, n, 12000, 31)
+    A = Matrix.from_lists(list(r), list(c), list(np.float32(v)), n, n,
+                          typ=types.FP32)
+    x = Vector.from_lists(list(range(n)),
+                          list(rng.rand(n).astype(np.float32)), n,
+                          typ=types.FP32)
+    for sem in (types.FP32.PLUS_FIRST, types.FP32.PLUS_SECOND):
+        options_set(spmv_engine="csr8")
+        try:
+            want = x.vxm(A, semiring=sem)
+            options_set(spmv_engine="xspmv")
+            got = x.vxm(A, semiring=sem)
+        finally:
+            options_set(spmv_engine="auto")
+        assert np.allclose(
+            np.asarray(want._dense_pair(np.float32)[0]),
+            np.asarray(got._dense_pair(np.float32)[0]), rtol=1e-5), sem.name
+
+
 def test_fused_pagerank_engines_agree(monkeypatch):
     monkeypatch.setattr(X, "MIN_NNZ", 1)
     r, c, v, _ = _rand_coo(500, 500, 4000, 9)
