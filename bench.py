@@ -2,8 +2,14 @@
 GAP-style kron (RMAT) graph, run through the library's sparse execution
 path on the available accelerator.
 
-Prints ONE JSON line:
+Prints exactly ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": "nnz/s", "vs_baseline": N}
+
+The headline line is emitted IMMEDIATELY after the PageRank phase is
+measured (round-2 lesson: a late print loses the whole run to an outer
+timeout).  Secondary workloads (BFS / triangle count / BC / k-truss —
+BASELINE configs 1-3) run afterwards as best-effort under a remaining-
+time budget and are written to BENCH_EXTRAS.json + stderr, never stdout.
 
 The reference publishes no numbers (BASELINE.md); vs_baseline is
 reported against a nominal 1.0.
@@ -16,13 +22,40 @@ import time
 
 import numpy as np
 
+_T0 = time.time()
+# total inner budget: the headline is typically out after ~3 min warm;
+# extras consume whatever remains of this.
+_TOTAL = float(os.environ.get("BENCH_TOTAL_DEADLINE", "820"))
+
+
+def _remaining():
+    return _TOTAL - (time.time() - _T0)
+
+
+def _note(msg):
+    print(f"# [{time.time() - _T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: reruns of the same executables
+    (driver bench after an in-round warmup) skip the ~60s compiles."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("PYGB_XLA_CACHE",
+                                         "/tmp/pygb_xla_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimization, never a failure
+        _note(f"compile cache unavailable: {e!r}")
+
 
 def main():
     scale = int(os.environ.get("BENCH_SCALE", "20"))
     edgefactor = int(os.environ.get("BENCH_EDGEFACTOR", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "50"))
 
-    import jax
+    _enable_compile_cache()
     import jax.numpy as jnp
 
     from pygraphblas_tpu import types, fused
@@ -37,92 +70,63 @@ def main():
         np.savez(cache, rows=rows, cols=cols, n=n)
     nnz = len(rows)
     A = to_matrix(rows, cols, n, types.FP32)
-    print(f"# graph ready: n={n} nnz={nnz}; building/loading SpMV plan "
-          "(minutes when /tmp/pygb_plans is cold)...", file=sys.stderr)
+    _note(f"graph ready: n={n} nnz={nnz}; building/loading SpMV plan "
+          "(minutes when /tmp/pygb_plans is cold)...")
 
     # whole-loop-fused PageRank: the iteration loop is a single XLA
-    # executable over the cached csr8 plan (fused.py); tol=0 forces
-    # exactly `iters` iterations for a clean nnz/s measurement.  The
-    # first run pays one-time compile + device-transfer costs; report
-    # the best of three steady-state runs.
+    # executable over the cached plan (fused.py); tol=0 forces exactly
+    # `iters` iterations for a clean nnz/s measurement.  The first run
+    # pays one-time plan/compile/transfer costs; report the best of
+    # three steady-state runs.
     def timed():
         start = time.perf_counter()
         r = fused.pagerank(A, itermax=iters, tol=0.0)
         float(jnp.sum(r._vals))  # hard sync through the host
         return time.perf_counter() - start
 
-    print("# warmup (plan build/load + compile + transfer)...",
-          file=sys.stderr, flush=True)
+    _note("warmup (plan build/load + compile + transfer)...")
     t0 = time.perf_counter()
     timed()  # compile + transfer warmup
-    print(f"# warmup done in {time.perf_counter() - t0:.1f}s; timing...",
-          file=sys.stderr, flush=True)
+    _note(f"warmup done in {time.perf_counter() - t0:.1f}s; timing...")
     elapsed = min(timed() for _ in range(3))
-    print(f"# pagerank timed: {elapsed:.3f}s", file=sys.stderr, flush=True)
+    _note(f"pagerank timed: {elapsed:.3f}s")
     nnz_per_s = nnz * iters / elapsed
 
-    extras = {}
-    if os.environ.get("BENCH_EXTRAS", "1") == "1":
-        extras = bench_extras()
-
+    # THE one stdout line — out the door before anything else runs
     print(json.dumps({
         "metric": f"pagerank_spmv_kron_s{scale}_ef{edgefactor}",
         "value": nnz_per_s,
         "unit": "nnz/s",
         "vs_baseline": 1.0,
-        "extras": extras,
-    }))
+    }), flush=True)
+
+    if os.environ.get("BENCH_EXTRAS", "1") == "1":
+        extras = bench_extras()
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_EXTRAS.json")
+        with open(path, "w") as f:
+            json.dump(extras, f, indent=1)
+        _note("extras: " + json.dumps(extras))
 
 
 def bench_extras():
-    """Secondary BASELINE configs: fused BFS (config[1]), triangle
-    counting at kron-16 (config[2]), batched BC (config[3])."""
+    """Secondary BASELINE configs, each best-effort under the remaining
+    time budget: fused BFS (config[1]), triangle counting + k-truss at
+    kron-16/14 (config[2]), batched BC (config[3])."""
     import jax.numpy as jnp
-    import time as _t
 
     from pygraphblas_tpu import types, fused
-    from pygraphblas_tpu.algorithms import triangle_count, bfs_level
+    from pygraphblas_tpu.algorithms import (triangle_count, bfs_level,
+                                            k_truss)
     from pygraphblas_tpu.generators import rmat_edges, to_matrix
 
     out = {}
-    import sys as _sys
 
-    def _note(msg):
-        print("# " + msg, file=_sys.stderr, flush=True)
-
-    # --- fused BFS at kron-18 (low diameter, dense-frontier loop) ----
-    scale = int(os.environ.get("BENCH_BFS_SCALE", "18"))
-    cache = f"/tmp/pygb_bench_kron_s{scale}_ef16.npz"
-    if os.path.exists(cache):
-        d = np.load(cache)
-        rows, cols, n = d["rows"], d["cols"], int(d["n"])
-    else:
-        rows, cols, n = rmat_edges(scale, 16)
-        np.savez(cache, rows=rows, cols=cols, n=n)
-    A = to_matrix(rows, cols, n, types.BOOL)
-    _note(f"bfs graph ready (scale {scale}); fused bfs compile+run...")
-    t0 = time.perf_counter()
-    lv = fused.bfs_level(A, 0)
-    float(jnp.sum(lv._vals))
-    t_first = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    lv = fused.bfs_level(A, 1)
-    float(jnp.sum(lv._vals))
-    t_warm = time.perf_counter() - t0
-    out[f"bfs_fused_kron_s{scale}"] = {
-        "edges_per_s": len(rows) / t_warm, "first_s": t_first}
-    t0 = time.perf_counter()
-    bfs_level(A, 2)
-    out[f"bfs_push_kron_s{scale}"] = {
-        "edges_per_s": len(rows) / (time.perf_counter() - t0)}
-
-    # --- triangle counting at kron-16 (masked SpGEMM, config[2]) -----
-    scale = int(os.environ.get("BENCH_TC_SCALE", "16"))
-    cache = f"/tmp/pygb_bench_kron_s{scale}_ef16_sym.npz"
-    if os.path.exists(cache):
-        d = np.load(cache)
-        rows, cols, n = d["rows"], d["cols"], int(d["n"])
-    else:
+    def _sym_kron(scale):
+        cache = f"/tmp/pygb_bench_kron_s{scale}_ef16_sym.npz"
+        if os.path.exists(cache):
+            d = np.load(cache)
+            return d["rows"], d["cols"], int(d["n"])
         rows, cols, n = rmat_edges(scale, 16)
         rows, cols = (np.concatenate([rows, cols]),
                       np.concatenate([cols, rows]))
@@ -132,64 +136,141 @@ def bench_extras():
         _, idx = np.unique(keys, return_index=True)
         rows, cols = rows[idx], cols[idx]
         np.savez(cache, rows=rows, cols=cols, n=n)
-    A = to_matrix(rows, cols, n, types.INT64)
-    _note(f"tc graph ready (scale {scale}); triangle_count...")
-    t0 = time.perf_counter()
-    ntri = triangle_count(A, "sandia")
-    t_first = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    ntri = triangle_count(A, "sandia")   # warm: executables cached
-    t_tc = time.perf_counter() - t0
-    out[f"tc_kron_s{scale}"] = {
-        "edges_per_s": len(rows) / t_tc, "triangles": int(ntri),
-        "seconds": t_tc, "first_s": t_first}
+        return rows, cols, n
+
+    def run(name, min_budget, fn):
+        rem = _remaining()
+        if rem < min_budget:
+            _note(f"extras: skipping {name} ({rem:.0f}s left, "
+                  f"needs ~{min_budget}s)")
+            out[name] = {"skipped": f"{rem:.0f}s remaining"}
+            return
+        _note(f"extras: {name}...")
+        try:
+            out[name] = fn()
+        except Exception as e:
+            _note(f"extras: {name} FAILED: {e!r}")
+            out[name] = {"error": repr(e)}
+
+    # --- fused BFS at kron-18 (low diameter, dense-frontier loop) ----
+    def _bfs():
+        scale = int(os.environ.get("BENCH_BFS_SCALE", "18"))
+        cache = f"/tmp/pygb_bench_kron_s{scale}_ef16.npz"
+        if os.path.exists(cache):
+            d = np.load(cache)
+            rows, cols, n = d["rows"], d["cols"], int(d["n"])
+        else:
+            rows, cols, n = rmat_edges(scale, 16)
+            np.savez(cache, rows=rows, cols=cols, n=n)
+        A = to_matrix(rows, cols, n, types.BOOL)
+        t0 = time.perf_counter()
+        lv = fused.bfs_level(A, 0)
+        float(jnp.sum(lv._vals))
+        t_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        lv = fused.bfs_level(A, 1)
+        float(jnp.sum(lv._vals))
+        t_warm = time.perf_counter() - t0
+        return {"edges_per_s": len(rows) / t_warm, "first_s": t_first,
+                "scale": scale}
+
+    run("bfs_fused_kron", 120, _bfs)
+
+    # --- triangle counting at kron-16 (masked SpGEMM, config[2]) -----
+    def _tc():
+        scale = int(os.environ.get("BENCH_TC_SCALE", "16"))
+        rows, cols, n = _sym_kron(scale)
+        A = to_matrix(rows, cols, n, types.INT64)
+        t0 = time.perf_counter()
+        ntri = triangle_count(A, "sandia")
+        t_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ntri = triangle_count(A, "sandia")   # warm: executables cached
+        t_tc = time.perf_counter() - t0
+        return {"edges_per_s": len(rows) / t_tc, "triangles": int(ntri),
+                "seconds": t_tc, "first_s": t_first, "scale": scale}
+
+    run("tc_kron", 150, _tc)
+
+    # --- k-truss at kron-14 (VERDICT r2 #7: prove the recompile fix) --
+    def _ktruss():
+        scale = int(os.environ.get("BENCH_KT_SCALE", "14"))
+        rows, cols, n = _sym_kron(scale)
+        A = to_matrix(rows, cols, n, types.INT64)
+        t0 = time.perf_counter()
+        t4 = k_truss(A, 4)
+        t_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        t4 = k_truss(A, 4)
+        t_warm = time.perf_counter() - t0
+        return {"first_s": t_first, "warm_s": t_warm,
+                "nnz_4truss": int(t4.nvals), "scale": scale}
+
+    run("ktruss_kron", 120, _ktruss)
 
     # --- batched betweenness centrality (config[3]) ------------------
-    from pygraphblas_tpu import fused as _f
+    def _bc():
+        scale = int(os.environ.get("BENCH_TC_SCALE", "16"))
+        rows, cols, n = _sym_kron(scale)
+        Af = to_matrix(rows, cols, n, types.FP32)
+        t0 = time.perf_counter()
+        bcv = fused.bc(Af, [0, 1, 2, 3])
+        float(jnp.sum(bcv._vals))
+        t_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        bcv = fused.bc(Af, [4, 5, 6, 7])
+        float(jnp.sum(bcv._vals))
+        t_bc = time.perf_counter() - t0
+        return {"seconds": t_bc, "first_s": t_first, "scale": scale}
 
-    _note("bc4...")
-    Af = A.cast(types.FP32)
-    t0 = time.perf_counter()
-    bcv = _f.bc(Af, [0, 1, 2, 3])
-    float(jnp.sum(bcv._vals))
-    t_first = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    bcv = _f.bc(Af, [4, 5, 6, 7])
-    float(jnp.sum(bcv._vals))
-    t_bc = time.perf_counter() - t0
-    out[f"bc4_kron_s{scale}"] = {"seconds": t_bc, "first_s": t_first}
+    run("bc4_kron", 120, _bc)
     return out
 
 
 def supervised():
-    """Run main() in a child process with a deadline and one retry.
-
-    The remote-TPU tunnel occasionally wedges a single client connection
-    (blocked forever before the first transfer); a fresh process always
-    reconnects cleanly, so a supervisor + retry makes the benchmark
-    robust against it."""
+    """Run main() in a child process, streaming its output; echo the
+    headline JSON the INSTANT it appears so an outer timeout can no
+    longer lose the number.  One retry if the child dies or wedges
+    before producing the headline (the remote-TPU tunnel occasionally
+    wedges a single client connection; a fresh process reconnects)."""
     import subprocess
+    import threading
 
-    deadline = int(os.environ.get("BENCH_DEADLINE", "2400"))
+    deadline = float(os.environ.get("BENCH_DEADLINE", "880"))
+    start = time.time()
+    headline = []
+
     for attempt in range(2):
-        env = dict(os.environ, BENCH_INNER="1")
+        remaining = deadline - (time.time() - start)
+        if remaining < 90:
+            break
+        env = dict(os.environ, BENCH_INNER="1",
+                   BENCH_TOTAL_DEADLINE=str(max(remaining - 15, 60)))
+        proc = subprocess.Popen(
+            [sys.executable, "-u", os.path.abspath(__file__)],
+            env=env, stdout=subprocess.PIPE, stderr=None, text=True,
+            bufsize=1)
+        timer = threading.Timer(remaining, proc.kill)
+        timer.start()
         try:
-            res = subprocess.run(
-                [sys.executable, "-u", os.path.abspath(__file__)],
-                env=env, timeout=deadline, capture_output=True, text=True)
-        except subprocess.TimeoutExpired:
-            print(f"# attempt {attempt}: deadline {deadline}s exceeded "
-                  "(tunnel wedge?); retrying in a fresh process",
-                  file=sys.stderr, flush=True)
-            continue
-        sys.stderr.write(res.stderr)
-        out = [ln for ln in res.stdout.splitlines() if ln.startswith("{")]
-        if res.returncode == 0 and out:
-            print(out[-1])
+            for line in proc.stdout:
+                line = line.rstrip("\n")
+                if line.startswith("{") and not headline:
+                    print(line, flush=True)   # the number is now safe
+                    headline.append(line)
+                else:
+                    print(line, file=sys.stderr, flush=True)
+            proc.wait()
+        finally:
+            timer.cancel()
+            if proc.poll() is None:
+                proc.kill()
+        if headline:
             return
-        print(f"# attempt {attempt}: exit {res.returncode}",
+        print(f"# attempt {attempt}: exit {proc.returncode} with no "
+              "headline; retrying in a fresh process",
               file=sys.stderr, flush=True)
-    raise SystemExit("bench failed after retries")
+    raise SystemExit("bench failed: no headline produced within deadline")
 
 
 if __name__ == "__main__":
