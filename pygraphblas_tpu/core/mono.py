@@ -36,6 +36,8 @@ import jax.numpy as jnp
 # resident-source limit: keep the whole source in VMEM below this
 _RESIDENT_BYTES = 11 << 20
 _MAX_XB = 8192           # streaming window block rows (8192*128*4B = 4MB)
+_GW_MAX_SPAN = 120       # group-window kernel: max source rows per group
+_GW_INVALID = 32512      # int16 sentinel for invalid cells (0x7F00)
 
 
 def _on_tpu():
@@ -58,21 +60,23 @@ class MonoPlan:
     closure constants overflows the remote-compile transport."""
 
     __slots__ = ("S", "blk", "src_n", "src_rows", "q0", "dm", "max_w",
-                 "stream", "xb", "xblk", "xblk_max", "ok")
+                 "stream", "xb", "xblk", "xblk_max", "ok",
+                 "gw", "qg", "span", "span_max")
 
     def _aux(self):
         return (self.S, self.blk, self.src_n, self.src_rows, self.max_w,
-                self.stream, self.xb, self.xblk_max, self.ok)
+                self.stream, self.xb, self.xblk_max, self.ok,
+                self.gw, self.span_max)
 
     def _children(self):
-        return (self.q0, self.dm, self.xblk)
+        return (self.q0, self.dm, self.xblk, self.qg, self.span)
 
     @staticmethod
     def _unflatten(aux, children):
         p = MonoPlan()
         (p.S, p.blk, p.src_n, p.src_rows, p.max_w, p.stream, p.xb,
-         p.xblk_max, p.ok) = aux
-        p.q0, p.dm, p.xblk = children
+         p.xblk_max, p.ok, p.gw, p.span_max) = aux
+        p.q0, p.dm, p.xblk, p.qg, p.span = children
         return p
 
     @staticmethod
@@ -110,6 +114,10 @@ class MonoPlan:
         plan.dm = jnp.asarray(dm)
         plan.max_w = int(dm.max() // 128 + 1) if n else 1
         plan.ok = True
+        plan.gw = False
+        plan.qg = jnp.zeros((S // 8,), jnp.int32)
+        plan.span = jnp.zeros((S // 8,), jnp.int32)
+        plan.span_max = 0
 
         blk = 512
         while S % blk:
@@ -122,6 +130,25 @@ class MonoPlan:
             plan.xb = 0
             plan.xblk = jnp.zeros((S // blk,), jnp.int32)
             plan.xblk_max = 0
+            # group-window encoding: one dynamic sublane slice per 8-row
+            # group instead of 8*max_w single-row slices (the slices
+            # dominate the decode kernel at ~10 cyc each — PERF.md r3).
+            # qg = window base sublane per group; dm becomes the absolute
+            # in-window element offset; span = window rows per group.
+            qg = q0[0::8]                       # q0 is non-decreasing
+            row_w = np.where(valid.any(axis=1),
+                             dm64.max(axis=1) // 128 + 1, 0)
+            rspan = (q0 - np.repeat(qg, 8)) + row_w
+            span = rspan.reshape(-1, 8).max(axis=1).astype(np.int32)
+            span_max = int(span.max()) if len(span) else 0
+            if span_max <= _GW_MAX_SPAN:
+                ci = (q0[:, None] - np.repeat(qg, 8)[:, None]) * 128 + dm64
+                plan.gw = True
+                plan.dm = jnp.asarray(
+                    np.where(dm64 >= 0, ci, _GW_INVALID).astype(np.int16))
+                plan.qg = jnp.asarray(qg.astype(np.int32))
+                plan.span = jnp.asarray(np.maximum(span, 1))
+                plan.span_max = span_max
             return plan
 
         # streaming: per output block, two consecutive source blocks of
@@ -172,6 +199,24 @@ def mono_gather(plan, src, fill, vals=None, mul=None, fold=None):
     S = plan.S
     dtype = src.dtype
     if not _on_tpu() or not plan.ok or dtype.itemsize > 4:
+        if plan.gw:
+            valid = plan.dm != _GW_INVALID
+            idx = (jnp.repeat(plan.qg.astype(jnp.int64), 8)[:, None] * 128
+                   + jnp.where(valid, plan.dm, 0))
+            g = jnp.take(src, jnp.clip(idx.reshape(-1), 0,
+                                       src.shape[0] - 1))
+            g = g.reshape(S, 128)
+            g = jnp.where(valid, g, jnp.asarray(fill, dtype))
+            if mul is not None:
+                g = jnp.where(valid, mul(vals.reshape(S, 128), g),
+                              jnp.asarray(fill, dtype))
+            if fold is not None:
+                g = g.reshape(S // 8, 8, 128)
+                out = g[:, 0, :]
+                for k in range(1, 8):
+                    out = fold(out, g[:, k, :])
+                return out
+            return g
         q0 = plan.q0.astype(jnp.int64)
         if plan.stream:
             q0 = q0 + jnp.repeat(plan.xblk.astype(jnp.int64) * plan.xb,
@@ -191,6 +236,8 @@ def mono_gather(plan, src, fill, vals=None, mul=None, fold=None):
                 out = fold(out, g[:, k, :])
             return out
         return g
+    if plan.gw:
+        return _mono_pallas_gw(plan, src, fill, vals, mul, fold)
     return _mono_pallas(plan, src, fill, vals, mul, fold)
 
 
@@ -200,6 +247,95 @@ def _pad_rows(src, rows):
     if n < need:
         src = jnp.concatenate([src, jnp.zeros((need - n,), src.dtype)])
     return src[:need].reshape(rows, 128)
+
+
+def _mono_pallas_gw(plan, src, fill, vals, mul, fold):
+    """Group-window kernel (resident sources): ONE dynamic sublane slice
+    per 8-row group + in-register lane gathers/selects, instead of
+    8*max_w single-row slices.  The slices dominate the per-row kernel
+    (~10 cyc each, PERF.md r3); this cuts them 8-16x.  dm is encoded as
+    the absolute in-window offset (sublane = dm>>7, lane = dm&127)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    S, blk = plan.S, plan.blk
+    dtype = src.dtype
+    fill = np.dtype(dtype).type(fill)
+    folded = fold is not None
+    nsrc_rows = plan.src_rows + plan.span_max + 2
+    src2 = _pad_rows(src, nsrc_rows)
+    unroll = max(1, min(plan.span_max, 2))
+
+    def kern(*refs):
+        qg_ref, sp_ref, dm_ref, x_ref = refs[:4]
+        rest = refs[4:]
+        if mul is not None:
+            v_ref = rest[0]
+            rest = rest[1:]
+        out_ref = rest[0]
+        gbase = pl.program_id(0).astype(jnp.int32) * (blk // 8)
+
+        def do_group(g, _):
+            g = g.astype(jnp.int32)
+            s0 = g * 8
+            dmg = dm_ref[pl.ds(s0, 8), :].astype(jnp.int32)
+            qg = qg_ref[gbase + g]
+            sb = dmg >> 7            # in-window sublane (254 = invalid)
+            ln = jnp.bitwise_and(dmg, 127)
+
+            def step(s, acc):
+                row = x_ref[pl.ds(qg + s, 1), :]
+                gsel = jnp.take_along_axis(
+                    jnp.broadcast_to(row, (8, 128)), ln, axis=1)
+                return jnp.where(sb == s, gsel, acc)
+
+            acc = jnp.full((8, 128), fill, dtype)
+            for s in range(unroll):
+                acc = step(s, acc)
+            if plan.span_max > unroll:
+                span = sp_ref[gbase + g]
+                acc = jax.lax.fori_loop(
+                    unroll, span,
+                    lambda s, a: step(s.astype(jnp.int32), a), acc)
+            if mul is not None:
+                acc = jnp.where(dmg != _GW_INVALID,
+                                mul(v_ref[pl.ds(s0, 8), :], acc),
+                                jnp.asarray(fill, dtype))
+            if folded:
+                r = acc[0:1, :]
+                for k in range(1, 8):
+                    r = fold(r, acc[k:k + 1, :])
+                out_ref[pl.ds(g, 1), :] = r
+            else:
+                out_ref[pl.ds(s0, 8), :] = acc
+            return 0
+
+        with jax.enable_x64(False):
+            jax.lax.fori_loop(0, blk // 8, do_group, 0)
+
+    out_rows = S // 8 if folded else S
+    out_blk = blk // 8 if folded else blk
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                      # qg
+        pl.BlockSpec(memory_space=pltpu.SMEM),                      # span
+        pl.BlockSpec((blk, 128), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),                      # dm
+        pl.BlockSpec(memory_space=pltpu.VMEM),                      # src
+    ]
+    args = [plan.qg, plan.span, plan.dm, src2]
+    if mul is not None:
+        in_specs.append(pl.BlockSpec((blk, 128), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(vals.reshape(S, 128))
+    with jax.enable_x64(False):  # index maps must trace 32-bit
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((out_rows, 128), dtype),
+            grid=(S // blk,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((out_blk, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        )(*args)
 
 
 def _mono_pallas(plan, src, fill, vals, mul, fold):

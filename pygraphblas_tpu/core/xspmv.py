@@ -44,7 +44,7 @@ MIN_NNZ = 1 << 15
 # content hash (analogous to the reference's .grb binfile caches,
 # gap/prmark.py:48)
 PLAN_CACHE_DIR = os.environ.get("PYGB_PLAN_CACHE", "/tmp/pygb_plans")
-_PLAN_VERSION = 9
+_PLAN_VERSION = 10
 
 _ADDS = {
     "PLUS": (lambda a, b: a + b, "add"),
@@ -300,14 +300,12 @@ def xspmv(plan, x, semiring, out_dtype, flip_mul=False):
         prod = mono_gather(plan.decode, xc.reshape(-1), fill,
                            vals=plan.vals_col, mul=mul)
     # the permutation pads the tail (pad cells map to pad sources) with
-    # the fold identity internally — no separate concat pass
-    moved = plan.perm.apply(prod.reshape(-1), pad_value=fill)[:8 * plan.m1]
-    # level-0 fold: (8 slots x 128 groups) tiles -> sublane-dim reduce
-    fk = moved.reshape(plan.m1 // 128, 8, 128)
-    acc = fk[:, 0, :]
-    for s in range(1, 8):
-        acc = fold(acc, fk[:, s, :])
-    f_list = [acc.reshape(-1)]
+    # the fold identity internally — no separate concat pass.  The
+    # level-0 8-ary fold is FUSED into the permutation's final ascend
+    # pass (perm.apply_fold8): the 8*m1-cell intermediate never reaches
+    # HBM, and the XLA strided-slice fold pass disappears.
+    acc1, _ = plan.perm.apply_fold8(prod.reshape(-1), fill, fold)
+    f_list = [acc1.reshape(-1)[:plan.m1]]
     for lp in plan.levels:
         nxt = mono_gather(lp, f_list[-1].reshape(-1), fill, fold=fold)
         f_list.append(nxt.reshape(-1))

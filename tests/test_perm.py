@@ -38,6 +38,27 @@ def test_perm_int_dtype():
     assert np.array_equal(out, x[src])
 
 
+@pytest.mark.parametrize("n", [1 << 15, 1 << 18, (1 << 18) + 1024])
+def test_perm_apply_fold8(n):
+    """apply_fold8 folds each consecutive 8-row block of the permuted
+    (n//128, 128) view — fused into the final ascend pass on TPU."""
+    rng = np.random.RandomState(n % 97)
+    src = rng.permutation(n)
+    plan = PermPlan.build(src)
+    x = rng.rand(n).astype(np.float32)
+    out, folded = plan.apply_fold8(jnp.asarray(x), np.float32(0),
+                                   lambda a, b: a + b)
+    assert folded
+    want_full = x[src]
+    pad = -n % 1024
+    if pad:
+        want_full = np.concatenate([want_full, np.zeros(pad, np.float32)])
+    want = want_full.reshape(-1, 8, 128).sum(axis=1).reshape(-1)
+    got = np.asarray(out)
+    assert got.shape[0] >= want.shape[0]
+    assert np.allclose(got[:want.shape[0]], want, rtol=1e-6)
+
+
 def test_choose_shape_bounds():
     for n in [16400, 100000, 1 << 21, 1 << 24]:
         d, s, r0 = _choose_shape(n, 112)
