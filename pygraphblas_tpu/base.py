@@ -154,6 +154,12 @@ class GlobalConfig:
     # pipeline (core/xspmv.py) when the semiring+size support it, falling
     # back to the slot-major csr8 plan; "csr8"/"xspmv" force one engine.
     spmv_engine: str = "auto"
+    # Unmasked SpGEMM engine: "auto" picks compact densification onto the
+    # MXU when the relabeled operands fit spgemm_dense_cells, then the
+    # device expand/sort/compact pipeline (core/esc.py), then the host
+    # two-phase fallback; "dense"/"esc"/"scipy" force one tier.
+    spgemm_engine: str = "auto"
+    spgemm_dense_cells: int = 1 << 24
 
 
 config = GlobalConfig()
@@ -170,6 +176,8 @@ def options_set(
     bitmap_max_cells=None,
     vector_max_cells=None,
     spmv_engine=None,
+    spgemm_engine=None,
+    spgemm_dense_cells=None,
 ):
     """Set global library options.
 
@@ -205,6 +213,12 @@ def options_set(
         if spmv_engine not in ("auto", "csr8", "xspmv"):
             raise ValueError("spmv_engine must be auto|csr8|xspmv")
         config.spmv_engine = spmv_engine
+    if spgemm_engine is not None:
+        if spgemm_engine not in ("auto", "dense", "esc", "scipy"):
+            raise ValueError("spgemm_engine must be auto|dense|esc|scipy")
+        config.spgemm_engine = spgemm_engine
+    if spgemm_dense_cells is not None:
+        config.spgemm_dense_cells = int(spgemm_dense_cells)
 
 
 def options_get():

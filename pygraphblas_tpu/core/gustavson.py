@@ -20,10 +20,110 @@ Replaces the reference's unmasked ``lib.GrB_mxm``
 GraphChallenge DNN ``Y @ w`` (``demo/dnn/dnn.py:14-25``).
 """
 
-import numpy as np
+from functools import partial
 
-from ..base import burble
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..base import burble, config
 from . import coosem as cs
+
+
+def _on_tpu():
+    return jax.default_backend() == "tpu"
+
+
+def _pow2(x, lo=8):
+    p = lo
+    while p < x:
+        p *= 2
+    return p
+
+
+def _dense_ok(semiring, out_dtype, kc):
+    """Algebras the dense tier may use: only those dense.mxm lowers to
+    the MXU (a generic VPU fold over Mc*Kc*Nc cells is never a win)."""
+    from .dense import _matmul_ok
+
+    add = semiring.add_monoid.binaryop
+    mul = semiring.mul_op
+    if not (add.builtin and mul.builtin) or mul.positional:
+        return False
+    out_dtype = np.dtype(out_dtype)
+    if add.op == "PLUS" and mul.op == "PAIR" and out_dtype != np.bool_:
+        return jax.default_backend() != "tpu" or kc <= (1 << 24)
+    if add.op == "PLUS" and mul.op == "TIMES" and out_dtype != np.bool_:
+        return _matmul_ok(out_dtype)
+    if (add.op in ("LOR", "ANY")
+            and mul.op in ("LAND", "PAIR", "FIRST", "SECOND", "TIMES")
+            and out_dtype == np.bool_):
+        return True
+    return False
+
+
+def dense_spgemm(ra, ca, va, rb, cb, vb, semiring, out_dtype):
+    """Compact-densify tier: relabel the present rows/inner/cols spaces,
+    scatter both operands into dense (Mc,Kc)/(Kc,Nc) device arrays, and
+    ride the MXU through core/dense.py's semiring matmul.  On this
+    hardware a single MXU pass beats any sparse pipeline whenever the
+    compact product fits the cell budget — the TPU-first answer for
+    hypersparse mid-size products (graph contractions, DNN-style
+    layers).  Returns canonical COO or None when it doesn't fit."""
+    from . import dense as dk
+
+    out_dtype = np.dtype(out_dtype)
+    (ur, ri), (uk, ka, kb), (uc, ci) = _relabel(ra, ca, rb, cb)
+    mc = _pow2(len(ur))
+    kc = _pow2(len(uk))
+    nc = _pow2(len(uc))
+    budget = config.spgemm_dense_cells
+    if mc * kc > budget or kc * nc > budget or mc * nc > budget \
+            or not _dense_ok(semiring, out_dtype, kc):
+        return None
+
+    vdt = np.dtype(np.float32) if out_dtype == np.bool_ else out_dtype
+
+    def _scatter(m, k, rr, cc, vv):
+        np_ = _pow2(len(rr))
+        r2 = np.full(np_, m, np.int32)  # OOB pad -> dropped by scatter
+        c2 = np.zeros(np_, np.int32)
+        v2 = np.zeros(np_, vdt)
+        r2[:len(rr)] = rr
+        c2[:len(cc)] = cc
+        v2[:len(vv)] = vv.astype(vdt)
+        return _densify(jnp.asarray(r2), jnp.asarray(c2),
+                        jnp.asarray(v2), m, k)
+
+    av, am = _scatter(mc, kc, ri, ka, va)
+    bv, bm = _scatter(kc, nc, kb, ci, vb)
+    burble("unmasked spgemm (dense MXU): %dx%dx%d compact", mc, kc, nc)
+    tv, tm = dk.mxm(av, am, bv, bm, semiring, out_dtype)
+    packed = _pack_mask(tm)
+    bits = np.asarray(packed)
+    pos = np.nonzero(
+        np.unpackbits(bits.view(np.uint8), bitorder="little"))[0]
+    if len(pos) == 0:
+        e = np.empty(0, np.int64)
+        return e, e.copy(), np.empty(0, out_dtype)
+    vals = np.asarray(jnp.take(tv.reshape(-1),
+                               jnp.asarray(pos.astype(np.int64))))
+    rr, cc = pos // nc, pos % nc
+    return ur[rr], uc[cc], vals.astype(out_dtype)
+
+
+@partial(jax.jit, static_argnames=("m", "k"))
+def _densify(ri, ci, v, m, k):
+    vals = jnp.zeros((m, k), v.dtype).at[ri, ci].set(v)
+    mask = jnp.zeros((m, k), jnp.bool_).at[ri, ci].set(True)
+    return vals, mask
+
+
+@jax.jit
+def _pack_mask(tm):
+    b = tm.reshape(-1, 32).astype(jnp.uint32)
+    return jnp.sum(b << jnp.arange(32, dtype=jnp.uint32)[None, :],
+                   axis=1, dtype=jnp.uint32)
 
 
 def _relabel(ra, ca, rb, cb):
@@ -58,13 +158,31 @@ _SCIPY_MULS = ("TIMES", "FIRST", "SECOND", "PAIR")
 
 
 def spgemm(ra, ca, va, rb, cb, vb, semiring, out_dtype):
-    """C = A (+.x) B, unmasked, canonical COO in, canonical COO out."""
+    """C = A (+.x) B, unmasked, canonical COO in, canonical COO out.
+
+    Engine dispatch (``options_set(spgemm_engine=...)``): "auto" tries
+    the compact-dense MXU tier, then the device expand/sort/compact
+    pipeline (core/esc.py; on TPU only — its host fallback loses to
+    scipy on CPU), then the host two-phase path below; "dense"/"esc"/
+    "scipy" force a tier."""
     from scipy import sparse
 
     out_dtype = np.dtype(out_dtype)
     if len(ra) == 0 or len(rb) == 0:
         e = np.empty(0, np.int64)
         return e, e.copy(), np.empty(0, out_dtype)
+
+    engine = config.spgemm_engine
+    if engine in ("auto", "dense"):
+        res = dense_spgemm(ra, ca, va, rb, cb, vb, semiring, out_dtype)
+        if res is not None:
+            return res
+    if engine == "esc" or (engine == "auto" and _on_tpu()):
+        from .esc import esc_spgemm
+
+        res = esc_spgemm(ra, ca, va, rb, cb, vb, semiring, out_dtype)
+        if res is not None:
+            return res
 
     add = semiring.add_monoid.binaryop
     mul = semiring.mul_op
