@@ -57,10 +57,19 @@ def build_biases(nneurons, nlayers, bias):
 
 
 @timing
-def run(nneurons, images, layers, biases):
+def run(nneurons, images, layers, biases, fused=True):
+    """The fused MXU path (pygraphblas_tpu.fused.dnn — one jit for the
+    whole net) when the dense working set fits, else the per-op
+    container path (algorithms.dnn)."""
+    from pygraphblas_tpu import fused as fk
     from pygraphblas_tpu.algorithms import dnn
 
-    result = dnn(layers, biases, images)
+    m, n = images.nrows, nneurons
+    cells = max(m * n, n * n * len(layers))
+    if fused and not images._is_huge and cells * 4 <= (4 << 30):
+        result = fk.dnn(layers, biases, images)
+    else:
+        result = dnn(layers, biases, images)
     result.wait()
     return result
 

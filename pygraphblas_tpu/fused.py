@@ -23,7 +23,7 @@ from .core import xspmv as xs
 from .base import config
 from . import types
 
-__all__ = ["pagerank", "bfs_level", "sssp", "bc"]
+__all__ = ["pagerank", "bfs_level", "sssp", "bc", "dnn"]
 
 
 def _xspmv_ok(A, semiring, dtype):
@@ -357,4 +357,74 @@ def bc(A, sources):
                          jnp.asarray(np.asarray(sources, np.int32)))
     out = Vector.sparse(types.FP32, n)
     out._set_dense(cent, jnp.ones((n,), jnp.bool_))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# GraphChallenge sparse DNN inference, fused dense (reference
+# demo/dnn/dnn.py:14-25)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _dnn_loop(wstack, bvec, y0, clip):
+    """Y <- min(max(Y @ W_l + b_l, 0), clip) over all layers, one XLA
+    program.  Adding the (negative) bias to absent (zero) cells and
+    clipping at 0 reproduces the sparse recurrence exactly: products are
+    nonnegative, so a cell survives iff a genuine product exceeded
+    -bias -- identical to bias-on-pattern + ReLU + drop."""
+
+    def body(l, y):
+        t = jnp.matmul(y, wstack[l], preferred_element_type=jnp.float32)
+        return jnp.clip(t + bvec[l], 0.0, clip)
+
+    return jax.lax.fori_loop(0, wstack.shape[0], body, y0)
+
+
+def dnn(W, B, Y, clip=32.0):
+    """Fused GraphChallenge DNN inference (reference demo/dnn/dnn.py:14).
+
+    TPU-first design: at the challenge's layer densities the MXU beats
+    any sparse pipeline by orders of magnitude, so the whole net runs as
+    one jit -- weights stacked (L, n, n) dense on device, images dense
+    (m, n), bias add + ReLU + clip fused into the matmul epilogue, zero
+    per-layer dispatches.  Semantically identical to
+    :func:`algorithms.dnn` for nonnegative weights/images (the
+    challenge's domain); returns a dense-stored FP32 Matrix.
+    """
+    from .matrix import Matrix
+
+    n = W[0].nrows
+    m = Y.nrows
+    L = len(W)
+
+    def _dense_np(mat):
+        if mat._is_huge:  # forced-COO container: densify from triples
+            r, c, v = mat._coo()
+            return jnp.zeros((mat.nrows, mat.ncols), jnp.float32).at[
+                jnp.asarray(r), jnp.asarray(c)].set(
+                    jnp.asarray(v.astype(np.float32)))
+        v, mk = mat._dense_pair()
+        return jnp.where(mk, v, jnp.zeros((), v.dtype)).astype(jnp.float32)
+
+    ws = jnp.stack([_dense_np(w) for w in W])
+    bv = []
+    for b in B:
+        if isinstance(b, (int, float)):
+            bv.append(float(b))
+        else:  # bias-diagonal matrix (Matrix.identity(..., value=bias))
+            _, _, dv = b._coo()
+            bv.append(float(dv[0]) if len(dv) else 0.0)
+    bvec = jnp.asarray(np.array(bv, np.float32))
+
+    y0 = _dense_np(Y)
+
+    yv = _dnn_loop(ws, bvec, y0, jnp.float32(clip))
+    out = Matrix.sparse(types.FP32, m, n)
+    if out._is_huge:
+        ym = np.asarray(yv != 0)
+        rr, cc = np.nonzero(ym)
+        out._build(rr.astype(np.int64), cc.astype(np.int64),
+                   np.asarray(yv)[rr, cc])
+    else:
+        out._set_dense(yv, yv != 0)
     return out

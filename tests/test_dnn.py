@@ -24,3 +24,35 @@ def test_dnn_category_oracle_forced_sparse():
         run_fullscale(nneurons=32, nlayers=6, nimages=400)
     finally:
         config.bitmap_max_cells = old
+
+
+def test_fused_dnn_matches_container_path():
+    """fused.dnn (one-jit MXU path) vs algorithms.dnn on a synthetic
+    RadiX net."""
+    import numpy as np
+    from pygraphblas_tpu import Matrix, types, fused
+    from pygraphblas_tpu.algorithms import dnn as adnn
+    from demo.dnn.radix import radix_net
+    from demo.dnn.challenge import build_biases
+
+    n, layers = radix_net([4, 4, 4], 6, weight=0.5, seed=3)
+    rng = np.random.RandomState(3)
+    m = 96
+    nnz = m * 6
+    r = rng.randint(0, m, nnz).astype(np.int64)
+    c = rng.randint(0, n, nnz).astype(np.int64)
+    keys = np.unique(r * n + c)
+    r, c = keys // n, keys % n
+    v = rng.rand(len(r)).astype(np.float32)
+    images = Matrix.sparse(types.FP32, m, n)
+    images._build(r, c, v)
+    biases = build_biases(n, 6, -0.05)
+
+    want = adnn(layers, biases, images)
+    got = fused.dnn(layers, biases, images)
+    assert got.nrows == want.nrows and got.ncols == want.ncols
+    wd = np.zeros((m, n), np.float32)
+    wd[np.array(want.rows), np.array(want.cols)] = np.array(want.vals)
+    gd = np.zeros((m, n), np.float32)
+    gd[np.array(got.rows), np.array(got.cols)] = np.array(got.vals)
+    assert np.allclose(wd, gd, rtol=1e-5, atol=1e-5)
