@@ -2678,18 +2678,23 @@ class Matrix:
     # graph helpers
     # ------------------------------------------------------------------
 
-    def shard(self, mesh):
+    def shard(self, mesh, balance=True):
         """Shard this matrix over a ``jax.sharding.Mesh`` with axes
         ("i", "j"); returns a :class:`~.parallel.dist.DistMatrix` whose
         mxv/pagerank/triangle_count run under shard_map with XLA
         collectives over the mesh (the distribution tier, SURVEY §2.3).
+
+        ``balance`` relabels vertices by a fixed random permutation so
+        power-law hubs spread across tiles (padded-tile executors
+        otherwise run at the max-tile load); outputs are mapped back to
+        the original ids transparently.
 
         Multi-chip TPU execution uses exactly this path; the CPU
         test harness validates it on a virtual 8-device mesh.
         """
         from .parallel.dist import DistMatrix
 
-        return DistMatrix(self, mesh)
+        return DistMatrix(self, mesh, balance=balance)
 
     def out_degree(self, typ=types.UINT64, out=None):
         """UINT64 vector of out-degrees.

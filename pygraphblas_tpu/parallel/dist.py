@@ -219,14 +219,26 @@ def dist_pagerank_step(spmv, r, d_inv_damped, teleport):
 
 def dist_pagerank(mesh, nrows, rows, cols, damping=0.85, itermax=100,
                   tol=1e-4, dtype=np.float32, checkpoint_path=None,
-                  checkpoint_every=10):
+                  checkpoint_every=10, balance=True):
     """End-to-end distributed PageRank over the mesh (GAP formulation,
     matching ``algorithms.pagerank``).
+
+    ``balance`` relabels vertices by a fixed random permutation before
+    partitioning: power-law hubs otherwise concentrate in one tile and
+    the padded-tile executor degrades to the max-tile load (measured
+    3.2x aggregate overhead at P=8 on RMAT scale-15; 1.8x with the
+    shuffle — perf/dist_scaling.py).
 
     With ``checkpoint_path`` the rank vector snapshots atomically every
     ``checkpoint_every`` iterations and a restart resumes
     deterministically from the last snapshot (failure-recovery tier,
     parallel/checkpoint.py)."""
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    rank = None
+    if balance:
+        rank = np.random.RandomState(0x5EED).permutation(nrows)
+        rows, cols = rank[rows], rank[cols]
     deg = np.zeros(nrows, dtype)
     np.add.at(deg, np.asarray(rows, np.int64), 1)
     # pad the square dimension so both mesh axes divide it evenly (the
@@ -250,7 +262,7 @@ def dist_pagerank(mesh, nrows, rows, cols, damping=0.85, itermax=100,
     if checkpoint_path:
         from .checkpoint import load_state, save_state
 
-        sig = f"pagerank:{nrows}:{len(rows)}:{damping}:{tol}"
+        sig = f"pagerank:{nrows}:{len(rows)}:{damping}:{tol}:{int(balance)}"
         resumed = load_state(checkpoint_path, sig)
         if resumed is not None:
             start, st = resumed
@@ -261,7 +273,8 @@ def dist_pagerank(mesh, nrows, rows, cols, damping=0.85, itermax=100,
             save_state(checkpoint_path, sig, it + 1, r=np.asarray(r))
         if float(rdiff) <= tol:
             break
-    return np.asarray(r)[:nrows]
+    out = np.asarray(r)
+    return out[rank] if rank is not None else out[:nrows]
 
 
 # ---------------------------------------------------------------------------
@@ -269,66 +282,245 @@ def dist_pagerank(mesh, nrows, rows, cols, damping=0.85, itermax=100,
 # ---------------------------------------------------------------------------
 
 
-def dist_triangle_count(mesh, nrows, rows, cols, block_dense_limit=1 << 24):
-    """Distributed triangle count: total = sum(L .* (L @ L)) with L the
-    strict lower triangle, 2-D block partitioned over the mesh.
+_TC_WIDTH_CAP = 8192
 
-    The n x n graph is cut into an (nb, nb) grid of dense 0/1 tiles
-    (nb divisible by both mesh axes); device (i, j) owns the block rows
-    congruent to its mesh row and block cols congruent to its mesh
-    column.  Two ``all_gather`` collectives (block rows over the "j"
-    axis, block cols over the "i" axis — both ride ICI rings) give each
-    device the full k-range, the local contraction
-    C_IJ = sum_k L_Ik @ L_kJ runs as one batched MXU einsum, and the
-    tile-masked count psum-reduces to the global total.  This is the
-    all-gather SUMMA variant: O(nb/p) extra tiles per device for a
-    single communication round.
+
+def dist_triangle_count(mesh, nrows, rows, cols):
+    """Distributed SPARSE triangle count: total = Σ_{(i,j)∈L} |L_i ∩ L_j|
+    with L the degree-ordered strict lower triangle, block-ROW
+    partitioned over a 1-D ring of the mesh's devices.
+
+    Memory is O(nnz/P) per device — no dense blocks, no n² anywhere, so
+    graph size is bounded by aggregate HBM, not by a cell budget
+    (replaces the round-2 dense SUMMA and its 92k-vertex cap).
+
+    Per round r of the P-round ring (``lax.ppermute`` of the in-flight
+    block — remote-row fetch riding ICI neighbor links, overlapping the
+    intersect compute):
+
+      * device p holds its own block's CSR plus block q = (p − r) mod P
+        in flight;
+      * the mask edges (i, j) with owner(j) == q run the sorted-concat
+        intersection (the single-chip masked-SpGEMM bucket formulation,
+        core/spgemm.py): lane-sort the concatenated adjacency slices,
+        count adjacent duplicates;
+      * edge descriptors (starts/widths into the local and in-flight
+        buffers) are precomputed host-side per (device, round, width
+        bucket) and ride as P("p")-sharded static-shape arrays.
+
+    Edges whose combined width exceeds the cap are counted host-side
+    (rare under degree ordering), exactly like the single-chip path.
     """
-    import math
-
-    pi, pj = mesh.shape["i"], mesh.shape["j"]
+    if nrows >= 1 << 29:
+        raise NotImplementedError(
+            "dist_triangle_count packs vertex ids into int32 sort keys; "
+            "nrows must be < 2^29")
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
+    # degree-order relabel (GAP optimization — bounds per-edge work)
+    deg = np.zeros(nrows, np.int64)
+    np.add.at(deg, rows, 1)
+    perm = np.argsort(deg, kind="stable")
+    rank = np.empty_like(perm)
+    rank[perm] = np.arange(nrows)
+    rows, cols = rank[rows], rank[cols]
     lower = rows > cols
     rows, cols = rows[lower], cols[lower]
+    order = np.argsort(rows * nrows + cols, kind="stable")
+    rows, cols = rows[order], cols[order]
 
-    nb = math.lcm(pi, pj)
-    b = _cdiv(nrows, nb)
-    if b * b > block_dense_limit or (nb * b) ** 2 > (1 << 33):
-        # the guard bounds BOTH the per-device tile and the total padded
-        # grid (the dense-block formulation materializes (nb*b)^2 cells
-        # across the mesh; adding devices must not unlock O(n^2) blowup)
-        raise NotImplementedError(
-            "dist_triangle_count dense blocks exceed the memory budget "
-            "for this graph size")
+    devs = mesh.devices.reshape(-1)
+    Pn = len(devs)
+    ring = Mesh(devs, ("p",))
+    rb = _cdiv(nrows, Pn)
 
-    tiles = np.zeros((nb, nb, b, b), np.float32)
-    bi, bj = rows // b, cols // b
-    tiles[bi, bj, rows - bi * b, cols - bj * b] = 1.0
-    tile_spec = NamedSharding(mesh, P("i", "j", None, None))
-    tiles_d = jax.device_put(tiles, tile_spec)
+    # per-block CSR: cols packed per block, (st, dg) per local row
+    bi = (rows // rb).astype(np.int64)
+    bcounts = np.bincount(bi, minlength=Pn)
+    Bmax = max(int(bcounts.max()), 1)
+    bstart = np.concatenate([[0], np.cumsum(bcounts)[:-1]])
+    pos_in_block = np.arange(len(rows)) - bstart[bi]
+    cols_b = np.zeros((Pn, Bmax), np.int32)
+    cols_b[bi, pos_in_block] = cols.astype(np.int32)
+    st = np.zeros(nrows, np.int64)
+    dg = np.zeros(nrows, np.int64)
+    u, s_idx, d_cnt = np.unique(rows, return_index=True,
+                                return_counts=True)
+    st[u] = s_idx - bstart[bi[s_idx]]     # block-local start
+    dg[u] = d_cnt
 
-    def local(tiles_l):
-        # tiles_l: (nb/pi, nb/pj, b, b) — this device's tile block
-        rowg = jax.lax.all_gather(tiles_l, "j", axis=1, tiled=True)
-        colg = jax.lax.all_gather(tiles_l, "i", axis=0, tiled=True)
-        # C_IJ = sum_k rowg[I, k] @ colg[k, J], batched on the MXU
-        c = jnp.einsum("ikab,kjbc->ijac", rowg, colg,
-                       preferred_element_type=jnp.float32)
-        cnt = jnp.sum(tiles_l * c)
-        return jax.lax.psum(jax.lax.psum(cnt, "i"), "j")[None]
+    # mask edges: every (i, j) of L; intersect row i (local) row j (ring)
+    wa = dg[rows]
+    wb = dg[cols]
+    a_st = st[rows]
+    b_st = st[cols]
+    pdev = bi                               # owning device = owner(i)
+    qblk = cols // rb                       # provider block = owner(j)
+    rnd = (pdev - qblk) % Pn                # ring round when q is in flight
+    width = wa + wb
 
+    heavy = width > _TC_WIDTH_CAP
+    host_cnt = 0
+    if heavy.any():
+        from ..base import burble
+
+        burble("dist_tc: %d heavy edges via host intersect",
+               int(heavy.sum()))
+        ui = np.nonzero(heavy)[0]
+        for e in ui:
+            ga = bstart[pdev[e]] + a_st[e]
+            gb = bstart[qblk[e]] + b_st[e]
+            host_cnt += len(np.intersect1d(
+                cols[ga:ga + wa[e]], cols[gb:gb + wb[e]],
+                assume_unique=True))
+
+    light = ~heavy
+    widths_p2 = np.maximum(8, 2 ** np.ceil(
+        np.log2(np.maximum(width, 1))).astype(np.int64))
+    menu = sorted(set(widths_p2[light].tolist()))
+
+    # per (bucket): (P, P, E_w) padded descriptor arrays
+    desc = []
+    for w in menu:
+        sel = light & (widths_p2 == w)
+        cnt_pr = np.zeros((Pn, Pn), np.int64)
+        np.add.at(cnt_pr, (pdev[sel], rnd[sel]), 1)
+        E_w = max(int(cnt_pr.max()), 1)
+        ast = np.zeros((Pn, Pn, E_w), np.int32)
+        awa = np.zeros((Pn, Pn, E_w), np.int32)
+        bst2 = np.zeros((Pn, Pn, E_w), np.int32)
+        bwb = np.zeros((Pn, Pn, E_w), np.int32)
+        ids = np.nonzero(sel)[0]
+        key = pdev[ids] * Pn + rnd[ids]
+        o = np.argsort(key, kind="stable")
+        ids = ids[o]
+        key = key[o]
+        kstart = np.concatenate(
+            [[0], np.cumsum(np.bincount(key, minlength=Pn * Pn))[:-1]])
+        within = np.arange(len(ids)) - kstart[key]
+        pp, rr = key // Pn, key % Pn
+        ast[pp, rr, within] = a_st[ids]
+        awa[pp, rr, within] = wa[ids]
+        bst2[pp, rr, within] = b_st[ids]
+        bwb[pp, rr, within] = wb[ids]
+        spec = NamedSharding(ring, P("p", None, None))
+        desc.append((int(w), jax.device_put(ast, spec),
+                     jax.device_put(awa, spec),
+                     jax.device_put(bst2, spec),
+                     jax.device_put(bwb, spec)))
+
+    cols_d = jax.device_put(cols_b, NamedSharding(ring, P("p", None)))
+    ring_perm = [(i, (i + 1) % Pn) for i in range(Pn)]
+
+    def local(colsL, *dargs):
+        colsL = colsL[0]
+        bufs = [(dargs[4 * k][0], dargs[4 * k + 1][0],
+                 dargs[4 * k + 2][0], dargs[4 * k + 3][0])
+                for k in range(len(menu))]
+
+        def round_body(r, carry):
+            buf, cnt = carry
+            for (w, _, _, _, _), (ast, awa, bst2, bwb) in zip(desc, bufs):
+                a0 = jax.lax.dynamic_index_in_dim(ast, r, 0, False)
+                wav = jax.lax.dynamic_index_in_dim(awa, r, 0, False)
+                b0 = jax.lax.dynamic_index_in_dim(bst2, r, 0, False)
+                wbv = jax.lax.dynamic_index_in_dim(bwb, r, 0, False)
+                lane = jnp.arange(w, dtype=jnp.int32)[None, :]
+                in_a = lane < wav[:, None]
+                in_b = jnp.logical_and(lane >= wav[:, None],
+                                       lane < (wav + wbv)[:, None])
+                sa = jnp.clip(a0[:, None] + lane, 0, colsL.shape[0] - 1)
+                sb = jnp.clip(b0[:, None] + lane - wav[:, None], 0,
+                              buf.shape[0] - 1)
+                sent = jnp.int32(1 << 30)
+                keys = jnp.where(
+                    in_a, jnp.take(colsL, sa) * 2,
+                    jnp.where(in_b, jnp.take(buf, sb) * 2 + 1,
+                              sent + 2 * lane))
+                ks = jax.lax.sort(keys, dimension=1)
+                match = (ks[:, :-1] >> 1) == (ks[:, 1:] >> 1)
+                cnt = cnt + jnp.sum(match, dtype=jnp.int64)
+            buf = jax.lax.ppermute(buf, "p", ring_perm)
+            return buf, cnt
+
+        cnt0 = jax.lax.pcast(jnp.int64(0), ("p",), to="varying") \
+            if hasattr(jax.lax, "pcast") else jnp.int64(0)
+        _, cnt = jax.lax.fori_loop(0, Pn, round_body, (colsL, cnt0))
+        return jax.lax.psum(cnt, "p")[None]
+
+    in_specs = [P("p", None)] + [P("p", None, None)] * (4 * len(menu))
     shmap = jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P("i", "j", None, None),),
+        local, mesh=ring,
+        in_specs=tuple(in_specs),
         out_specs=P(None),
     )
-    return float(np.asarray(shmap(tiles_d))[0])
+    args = [cols_d]
+    for (_, ast, awa, bst2, bwb) in desc:
+        args.extend([ast, awa, bst2, bwb])
+    dev_cnt = int(np.asarray(shmap(*args))[0]) if menu else 0
+    return dev_cnt + host_cnt
 
 
 # ---------------------------------------------------------------------------
-# Matrix API integration: Matrix.shard(mesh) -> DistMatrix
+# Matrix API integration: Matrix.shard(mesh) -> DistMatrix / DistVector
 # ---------------------------------------------------------------------------
+
+
+class DistVector:
+    """A dense vector sharded over the mesh — the device-resident
+    iteration state for distributed loops.  ``DistMatrix.mxv`` both
+    accepts and returns DistVectors, so multi-step algorithms chain on
+    device with only the collectives the XLA partitioner inserts
+    (the round-2 tier round-tripped the host per call).
+
+    `data` is a padded (n_p,) device array with NamedSharding `spec`;
+    `n` is the logical length.  Elementwise helpers (`ewise`,
+    `reduce_float`) run under the same sharding."""
+
+    def __init__(self, mesh, n, data, spec, typ, rank=None):
+        self.mesh = mesh
+        self.n = n
+        self.data = data
+        self.spec = spec
+        self.type = typ
+        # rank: logical id -> balanced (permuted) slot, when the owning
+        # DistMatrix load-balances hub rows across tiles
+        self.rank = rank
+
+    @staticmethod
+    def dense(mesh, n, n_p, fill, typ, spec, rank=None):
+        arr = jax.device_put(
+            np.full(n_p, fill, np.dtype(typ._numpy_t)), spec)
+        return DistVector(mesh, n, arr, spec, typ, rank)
+
+    def to_numpy(self):
+        d = np.asarray(self.data)
+        return d[self.rank] if self.rank is not None else d[:self.n]
+
+    def to_vector(self, pattern=None):
+        """Materialize as a host Vector; `pattern` (bool mask over the
+        logical range) restricts the output pattern."""
+        from ..vector import Vector
+
+        y = self.to_numpy()
+        out = Vector.sparse(self.type, self.n)
+        if pattern is None:
+            ids = np.arange(self.n, dtype=np.int64)
+            out._build(ids, y)
+        else:
+            ids = np.nonzero(pattern[:self.n])[0].astype(np.int64)
+            out._build(ids, y[pattern[:self.n]])
+        return out
+
+    def ewise(self, other, op=lambda a, b: a + b):
+        """Elementwise combine with another DistVector (sharding
+        preserved; runs on device)."""
+        data = jax.jit(op)(self.data, other.data)
+        return DistVector(self.mesh, self.n, data, self.spec, self.type,
+                          self.rank)
+
+    def reduce_float(self):
+        return float(jnp.sum(self.data))
 
 
 class DistMatrix:
@@ -341,7 +533,7 @@ class DistMatrix:
     and cached.
     """
 
-    def __init__(self, matrix, mesh):
+    def __init__(self, matrix, mesh, balance=True):
         from ..matrix import Matrix  # noqa: F401 (typing only)
 
         self.mesh = mesh
@@ -349,44 +541,118 @@ class DistMatrix:
         self.ncols = matrix.ncols
         self.type = matrix.type
         r, c, v = matrix._coo()
+        self._rank = None
+        if balance and self.nrows == self.ncols and self.nrows > 1:
+            # hub load-balancing: fixed random relabel; outputs map back
+            self._rank = np.random.RandomState(0x5EED).permutation(
+                self.nrows)
+            r, c = self._rank[r], self._rank[c]
         self._rows, self._cols, self._vals = r, c, v
         self._spmv_cache = {}
 
     def _executor(self, semiring, dtype, transpose):
+        import math
+
         key = (semiring.name, np.dtype(dtype).str, transpose)
         if key not in self._spmv_cache:
             r, c = ((self._cols, self._rows) if transpose
                     else (self._rows, self._cols))
             nr, nc = ((self.ncols, self.nrows) if transpose
                       else (self.nrows, self.ncols))
+            if nr == nc:
+                # square: pad both dims to a common lcm multiple so the
+                # P('i') output of one mxv is shape-compatible as the
+                # P('j') input of the next (DistVector chaining)
+                ll = math.lcm(self.mesh.shape["i"], self.mesh.shape["j"])
+                nr = nc = _cdiv(nr, ll) * ll
             self._spmv_cache[key] = DistSpMV(
                 self.mesh, nr, nc, r, c, self._vals.astype(dtype),
                 dtype=dtype, semiring=semiring)
         return self._spmv_cache[key]
 
-    def mxv(self, x, semiring=None, transpose=False):
-        """Distributed semiring matrix-vector product; `x` may be a
-        Vector or a numpy array.  Returns a Vector."""
+    def mxv(self, x, semiring=None, transpose=False, mask=None,
+            accum=None, out=None, out_dist=False):
+        """Distributed semiring matrix-vector product.
+
+        `x` may be a Vector, a numpy array, or a :class:`DistVector`
+        (device-resident: no host transfer on input).  With
+        ``out_dist=True`` (implied when `x` is a DistVector) the result
+        stays sharded on device as a DistVector, so iteration loops
+        chain without host round-trips.
+
+        `mask` (DistVector / bool numpy over the output range) keeps
+        masked-out lanes from `out` (or the add identity); `accum`
+        (builtin BinaryOp or name) combines into `out` where both are
+        present — the dense-segment analog of ``C<M> += A@x``.
+        """
         from ..vector import Vector
-        from .. import types as t
 
         if semiring is None:
             semiring = self.type._default_semiring()
         dtype = np.dtype(semiring.ztype._numpy_t)
         ex = self._executor(semiring, dtype, transpose)
-        if isinstance(x, Vector):
-            xv = x.to_numpy().astype(dtype)
+        def _to_padded(arr, npad, dt):
+            """host array in logical ids -> padded balanced layout"""
+            a = np.asarray(arr, dt)
+            p = np.zeros(npad, dt)
+            if self._rank is not None and len(a) == self.nrows:
+                p[self._rank] = a
+            else:
+                p[:len(a)] = a
+            return p
+
+        if isinstance(x, DistVector):
+            xd = x.data.astype(dtype)
+            out_dist = True
         else:
-            xv = np.asarray(x, dtype)
-        xp = np.zeros(ex.ncols_p, dtype)
-        xp[:len(xv)] = xv
-        y = np.asarray(ex(jax.device_put(xp, ex.x_spec)))
+            xv = x.to_numpy() if isinstance(x, Vector) else x
+            xd = jax.device_put(_to_padded(xv, ex.ncols_p, dtype),
+                                ex.x_spec)
+        yd = ex(xd)
+
+        if accum is not None and out is not None:
+            op = accum if isinstance(accum, str) else accum.op
+            fn = _MULS[op]
+            od = (out.data if isinstance(out, DistVector)
+                  else jax.device_put(
+                      _to_padded(out, ex.nrows_p, dtype), ex.y_spec))
+            yd = jax.jit(fn)(od.astype(dtype), yd)
+        if mask is not None:
+            md = (mask.data if isinstance(mask, DistVector)
+                  else jax.device_put(
+                      _to_padded(mask, ex.nrows_p, bool), ex.y_spec))
+            keep = (out.data if isinstance(out, DistVector)
+                    else jnp.zeros_like(yd))
+            yd = jax.jit(lambda m, a, b: jnp.where(m != 0, a, b))(
+                md, yd, keep)
+
         n_out = self.ncols if transpose else self.nrows
-        out = Vector.sparse(semiring.ztype, n_out)
-        present = ex.row_present_host[:n_out]
+        if out_dist:
+            return DistVector(self.mesh, n_out, yd, ex.y_spec,
+                              semiring.ztype, self._rank)
+        outv = Vector.sparse(semiring.ztype, n_out)
+        y = np.asarray(yd)
+        present = ex.row_present_host
+        if self._rank is not None:
+            y = y[self._rank]
+            present = present[self._rank]
+        else:
+            y = y[:n_out]
+            present = present[:n_out]
         ids = np.nonzero(present)[0].astype(np.int64)
-        out._build(ids, y[:n_out][present])
-        return out
+        outv._build(ids, y[present])
+        return outv
+
+    def vector(self, fill=0.0, typ=None, transpose=False):
+        """A DistVector in this matrix's row space (P('i') sharding),
+        ready to chain through :meth:`mxv`."""
+        from .. import types as t
+
+        typ = typ or t.FP32
+        ex = self._executor(typ._default_semiring(),
+                            np.dtype(typ._numpy_t), transpose)
+        return DistVector.dense(self.mesh, self.nrows, ex.nrows_p, fill,
+                                typ, ex.y_spec, self._rank)
 
     def pagerank(self, damping=0.85, itermax=100, tol=1e-4):
         """Distributed PageRank; returns an FP32 Vector of ranks."""
@@ -394,7 +660,12 @@ class DistMatrix:
         from .. import types as t
 
         r = dist_pagerank(self.mesh, self.nrows, self._rows, self._cols,
-                          damping=damping, itermax=itermax, tol=tol)
+                          damping=damping, itermax=itermax, tol=tol,
+                          balance=False)  # triples already balanced
+        if self._rank is not None:
+            full = np.zeros(max(self.nrows, len(r)), np.float32)
+            full[:len(r)] = r
+            r = full[self._rank]
         out = Vector.sparse(t.FP32, self.nrows)
         out._build(np.arange(self.nrows, dtype=np.int64),
                    r.astype(np.float32))

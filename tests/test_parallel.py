@@ -175,3 +175,100 @@ def test_elastic_run_restarts():
     out = elastic_run(step, {"x": np.zeros(4)}, 6)
     assert (out["x"] == 6).all()
     assert fails["left"] == 0
+
+
+def test_dist_vector_device_chaining():
+    """DistVector: mxv chains stay on device (power iteration without
+    host round-trips) and match the host loop (VERDICT r2 #5b)."""
+    import numpy as np
+    from pygraphblas_tpu import Matrix, types
+    from pygraphblas_tpu.parallel.dist import make_mesh, DistVector
+
+    rng = np.random.RandomState(5)
+    n = 96
+    keys = np.unique(rng.randint(0, n * n, 800))
+    r, c = keys // n, keys % n
+    v = rng.rand(len(r)).astype(np.float32)
+    A = Matrix.sparse(types.FP32, n, n)
+    A._build(r.astype(np.int64), c.astype(np.int64), v)
+    D = A.shard(make_mesh(8))
+
+    x = D.vector(fill=1.0, typ=types.FP32)
+    assert isinstance(x, DistVector)
+    y = x
+    for _ in range(3):
+        y = D.mxv(y, semiring=types.FP32.PLUS_TIMES)
+        assert isinstance(y, DistVector)
+
+    from scipy import sparse as sp
+    S = sp.coo_matrix((v, (r, c)), shape=(n, n)).tocsr()
+    want = np.ones(n, np.float32)
+    for _ in range(3):
+        want = S @ want
+    assert np.allclose(y.to_numpy(), want, rtol=1e-4)
+
+
+def test_dist_mxv_mask_accum():
+    """Masked + accumulated distributed mxv on dense segments."""
+    import numpy as np
+    from pygraphblas_tpu import Matrix, types
+    from pygraphblas_tpu.parallel.dist import make_mesh
+
+    rng = np.random.RandomState(6)
+    n = 64
+    keys = np.unique(rng.randint(0, n * n, 400))
+    r, c = keys // n, keys % n
+    v = rng.rand(len(r)).astype(np.float32)
+    A = Matrix.sparse(types.FP32, n, n)
+    A._build(r.astype(np.int64), c.astype(np.int64), v)
+    D = A.shard(make_mesh(8))
+    x = rng.rand(n).astype(np.float32)
+    out0 = D.mxv(x, semiring=types.FP32.PLUS_TIMES)  # plain
+    prev = D.vector(fill=2.0, typ=types.FP32)
+    mask = np.zeros(n, bool)
+    mask[: n // 2] = True
+    y = D.mxv(x, semiring=types.FP32.PLUS_TIMES, mask=mask,
+              accum="PLUS", out=prev, out_dist=True)
+    got = y.to_numpy()
+    from scipy import sparse as sp
+    S = sp.coo_matrix((v, (r, c)), shape=(n, n)).tocsr()
+    base = S @ x
+    want = np.where(mask, base + 2.0, 2.0)
+    assert np.allclose(got, want, rtol=1e-4)
+
+
+def test_dist_triangle_count_sparse_large():
+    """The ring-SpGEMM distributed TC has no dense blocks: runs at
+    2^17 vertices (past the old 92k dense cap) and matches the
+    single-chip count."""
+    import numpy as np
+    from pygraphblas_tpu.parallel.dist import make_mesh, \
+        dist_triangle_count
+
+    n = 1 << 17
+    src = np.arange(n, dtype=np.int64)
+    e1 = ((src + 1) % n)
+    e2 = ((src + 2) % n)
+    rows = np.concatenate([src, e1, src, e2])
+    cols = np.concatenate([e1, src, e2, src])
+    # ring + distance-2 chords: every vertex closes one triangle
+    # (i, i+1, i+2) -> n triangles
+    mesh = make_mesh(8)
+    assert dist_triangle_count(mesh, n, rows, cols) == n
+
+
+def test_dist_triangle_count_matches_networkx():
+    import numpy as np
+    import networkx as nx
+    from pygraphblas_tpu.parallel.dist import make_mesh, \
+        dist_triangle_count
+
+    G = nx.gnm_random_graph(500, 4000, seed=11)
+    rows, cols = [], []
+    for u, v in G.edges():
+        rows += [u, v]
+        cols += [v, u]
+    mesh = make_mesh(8)
+    got = dist_triangle_count(mesh, 500, np.asarray(rows),
+                              np.asarray(cols))
+    assert got == sum(nx.triangles(G).values()) // 3
