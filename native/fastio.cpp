@@ -445,6 +445,88 @@ PyObject* py_benes_color(PyObject*, PyObject* args) {
   return vec_to_bytes(color.data(), color.size());
 }
 
+// benes_stages(src_bytes:int64, n, D, S, R0) -> bytes
+//   Full Benes plan assembly for the K==128 embedding (core/perm.py
+//   PermPlan.build): per level, exact Euler-split coloring of the
+//   128-regular bipartite subproblems plus the A/C stage tables, then
+//   the bottom sublane-select table.  One native call replaces the
+//   (host-bound) numpy stage assembly AND the per-level colorer round
+//   trips; layout of the returned blob:
+//     [A stages: D * R0*128 int8][C stages: D * R0*128 int8]
+//     [ssel: 128^(D-1) * S * 128 int8, present iff S > 1]
+PyObject* py_benes_stages(PyObject*, PyObject* args) {
+  Py_buffer sb;
+  long long n, D, S, R0;
+  if (!PyArg_ParseTuple(args, "y*LLLL", &sb, &n, &D, &S, &R0))
+    return nullptr;
+  const int64_t Np = (int64_t)R0 * 128;
+  if ((int64_t)(sb.len / 8) != n || n > Np || D < 1 || Np >= (1LL << 31)) {
+    PyBuffer_Release(&sb);
+    PyErr_SetString(PyExc_ValueError, "benes_stages: bad arguments");
+    return nullptr;
+  }
+  int64_t nsub = 1;
+  for (int d = 1; d < D; ++d) nsub *= 128;
+  const int64_t ssel_sz = S > 1 ? nsub * (int64_t)S * 128 : 0;
+  PyObject* out = PyBytes_FromStringAndSize(nullptr, 2 * D * Np + ssel_sz);
+  if (!out) {
+    PyBuffer_Release(&sb);
+    return nullptr;
+  }
+  int8_t* buf = (int8_t*)PyBytes_AS_STRING(out);
+  const int64_t* src = (const int64_t*)sb.buf;
+  {
+    Py_BEGIN_ALLOW_THREADS
+    std::vector<int64_t> u(Np), v(Np), g(Np, 0);
+    // K == 128 embedding is the identity; junk tail cells map to
+    // themselves (any pairing of free cells keeps rows 128-regular)
+    for (int64_t i = 0; i < n; ++i) u[i] = src[i];
+    for (int64_t i = n; i < Np; ++i) u[i] = i;
+    for (int64_t i = 0; i < Np; ++i) v[i] = i;
+    std::vector<uint8_t> color(Np);
+    std::vector<int32_t> uu(Np), vv(Np), eid(Np);
+    unsigned hc = std::thread::hardware_concurrency();
+    int depth = hc >= 8 ? 3 : hc >= 4 ? 2 : hc >= 2 ? 1 : 0;
+    int64_t rows = R0;
+    for (int lvl = 0; lvl < D; ++lvl) {
+      for (int64_t i = 0; i < Np; ++i) {
+        uu[i] = (int32_t)(g[i] * rows + (u[i] >> 7));
+        vv[i] = (int32_t)(g[i] * rows + (v[i] >> 7));
+        eid[i] = (int32_t)i;
+      }
+      benes_par(uu.data(), vv.data(), eid.data(), Np, 7, 0,
+                2 * (int64_t)R0 + 2, color.data(), depth);
+      int8_t* a = buf + (int64_t)lvl * Np;
+      int8_t* c = buf + (int64_t)(D + lvl) * Np;
+      for (int64_t r = 0; r < R0; ++r)
+        for (int64_t j = 0; j < 128; ++j)
+          a[r * 128 + j] = (int8_t)j;
+      memcpy(c, a, Np);
+      for (int64_t i = 0; i < Np; ++i) {
+        int64_t col = color[i];
+        int64_t nu = g[i] * rows + (u[i] >> 7);
+        int64_t nv = g[i] * rows + (v[i] >> 7);
+        a[nu * 128 + col] = (int8_t)(u[i] & 127);
+        c[nv * 128 + (v[i] & 127)] = (int8_t)col;
+        g[i] = g[i] * 128 + col;
+        u[i] >>= 7;
+        v[i] >>= 7;
+      }
+      rows /= 128;
+    }
+    if (S > 1) {
+      int8_t* ss = buf + 2 * (int64_t)D * Np;
+      memset(ss, 0, ssel_sz);
+      for (int64_t i = 0; i < Np; ++i)
+        ss[(g[i] >> 7) * S * 128 + v[i] * 128 + (g[i] & 127)] =
+            (int8_t)u[i];
+    }
+    Py_END_ALLOW_THREADS
+  }
+  PyBuffer_Release(&sb);
+  return out;
+}
+
 PyMethodDef methods[] = {
     {"parse_mm", py_parse_mm, METH_VARARGS,
      "Parse a MatrixMarket file into canonical COO triples."},
@@ -452,6 +534,8 @@ PyMethodDef methods[] = {
      "Radix sort + dedup (last wins) int64 COO triples."},
     {"benes_color", py_benes_color, METH_VARARGS,
      "Edge-color a 2^bits-regular bipartite multigraph with 2^bits colors."},
+    {"benes_stages", py_benes_stages, METH_VARARGS,
+     "Full Benes routing-plan assembly (colorings + stage tables)."},
     {nullptr, nullptr, 0, nullptr},
 };
 

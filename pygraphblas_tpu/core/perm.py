@@ -376,6 +376,32 @@ class PermPlan:
         K = min(128, -(-n // R0))  # lanes actually used per row
         plan.D, plan.S, plan.R0, plan.K = D, S, R0, K
 
+        from ..io.native import HAVE_NATIVE
+
+        if HAVE_NATIVE and K == 128:
+            # whole-plan native assembly: the K==128 embedding is the
+            # identity, and every per-level coloring + stage table fill
+            # runs in one C call (the numpy assembly was host-bound at
+            # GAP scale — PERF.md round 3)
+            from pygraphblas_tpu import _fastio
+
+            Np = R0 * 128
+            blob = np.frombuffer(
+                _fastio.benes_stages(
+                    np.ascontiguousarray(src, np.int64).tobytes(),
+                    int(n), int(D), int(S), int(R0)), np.int8)
+            a_flat = blob[:D * Np].reshape(D, R0, 128)
+            c_flat = blob[D * Np:2 * D * Np].reshape(D, R0, 128)
+            plan.a_stages = [jnp.asarray(a_flat[l]) for l in range(D)]
+            plan.c_stages = [jnp.asarray(c_flat[l]) for l in range(D)]
+            if S > 1:
+                nsub = 128 ** (D - 1)
+                plan.ssel = jnp.asarray(
+                    blob[2 * D * Np:].reshape(nsub, S, 128))
+            else:
+                plan.ssel = None
+            return plan
+
         # embedding: element i of the in-array at cell (i//K)*128 + i%K
         q = np.arange(n, dtype=np.int64)
         pp = (src // K) * 128 + src % K
