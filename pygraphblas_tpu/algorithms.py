@@ -299,11 +299,11 @@ def _louvain_local_moves(W, kv, two_m, max_iters, nchunks=32, seed=0):
 
     — device-resident through the unmasked-SpGEMM tiers (dense MXU /
     ESC) on TPU, scipy's C kernel on the CPU harness — replacing the
-    numpy expand/sort/reduce loop.  Vertices are then swept in shuffled
-    chunks over H's precomputed rows; community degrees refresh between
-    chunks so moves stay modularity-increasing (candidates within a
-    sweep reflect labels at sweep start, the standard chunk-parallel
-    relaxation).  Returns compacted labels.
+    numpy expand/sort/reduce loop.  Vertices are swept in shuffled
+    chunks; each chunk extracts its rows of W and multiplies against
+    the membership matrix built from CURRENT labels, so moves see the
+    sweep's earlier decisions (same semantics as the sequential
+    formulation, chunk-synchronous).  Returns compacted labels.
     """
     import numpy as np
 
@@ -318,39 +318,40 @@ def _louvain_local_moves(W, kv, two_m, max_iters, nchunks=32, seed=0):
     dsel = wr == wc
     self_w[wr[dsel]] = wv[dsel].astype(np.float64)
     ones = np.ones(n, np.float32)
+    vids = np.arange(n, dtype=np.int64)
+    M = None
 
     for _ in range(max_iters):
         moved = 0
-        labels0 = labels.copy()
-        M = Matrix.sparse(types.FP32, n, n)
-        M._build(np.arange(n, dtype=np.int64), labels0, ones)
-        H = W.mxm(M, semiring=types.FP32.PLUS_TIMES)   # engine op
-        hr, hc, hv = H._coo()
-        hv = hv.astype(np.float64)
-        # remove self-loop contributions (they don't vote for a move)
-        want = hr * np.int64(n) + hc
-        skey = wr[dsel] * np.int64(n) + labels0[wr[dsel]]
-        pos = np.searchsorted(want, skey)
-        posc = np.minimum(pos, max(len(want) - 1, 0))
-        hit = (pos < len(want)) & (want[posc] == skey) if len(want) \
-            else np.zeros(0, bool)
-        np.subtract.at(hv, posc[hit], self_w[wr[dsel]][hit])
-        row_ptr = np.searchsorted(hr, np.arange(n + 1))
-
         for chunk in chunks:
             if chunk.size == 0:
                 continue
-            st = row_ptr[chunk]
-            lens = row_ptr[chunk + 1] - st
+            if M is None:      # membership matrix of current labels
+                M = Matrix.sparse(types.FP32, n, n)
+                M._build(vids, labels, ones)
+            Wc = W.extract_matrix(chunk.tolist())
+            H = Wc.mxm(M, semiring=types.FP32.PLUS_TIMES)  # engine op
+            hr, hc, hv = H._coo()
+            hv = hv.astype(np.float64)
+            # remove self-loop contributions (don't vote for a move)
+            sw = self_w[chunk]
+            srows = np.nonzero(sw)[0]
+            if srows.size and len(hr):
+                want = hr * np.int64(n) + hc
+                skey = srows * np.int64(n) + labels[chunk[srows]]
+                pos = np.searchsorted(want, skey)
+                posc = np.minimum(pos, len(want) - 1)
+                hit = want[posc] == skey
+                np.subtract.at(hv, posc[hit], sw[srows][hit])
+            row_ptr = np.searchsorted(hr, np.arange(chunk.size + 1))
+            lens = row_ptr[1:] - row_ptr[:-1]
             total = int(lens.sum())
             if total == 0:
                 continue
             g_ent = np.repeat(np.arange(chunk.size), lens)
-            run0 = np.repeat(np.cumsum(lens) - lens, lens)
-            offs = np.repeat(st, lens) + (np.arange(total) - run0)
             g_src = chunk[g_ent]
-            g_cand = hc[offs]
-            w_in = hv[offs]
+            g_cand = hc
+            w_in = hv
             cur = labels[g_src]
             ki = kv[g_src].astype(np.float64)
             # gain of joining g_cand (with i removed from its community)
@@ -386,6 +387,7 @@ def _louvain_local_moves(W, kv, two_m, max_iters, nchunks=32, seed=0):
                 np.add.at(comm_deg, bc, kv[vsrc])
                 labels[vsrc] = bc
                 moved += vsrc.size
+                M = None       # membership changed; rebuild next chunk
         if moved == 0:
             break
     _, labels = np.unique(labels, return_inverse=True)

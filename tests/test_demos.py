@@ -8,7 +8,7 @@ from pathlib import Path
 
 import pytest
 
-DEMOS = sorted((Path(__file__).parent.parent / "demo").glob("0*.py"))
+DEMOS = sorted((Path(__file__).parent.parent / "demo").glob("[0-9]*.py"))
 
 
 @pytest.mark.parametrize("script", DEMOS, ids=[d.name for d in DEMOS])
