@@ -115,7 +115,15 @@ def main():
     _note("warmup (plan build/load + compile + transfer)...")
     t0 = time.perf_counter()
     done = _watchdog(max(_remaining() - 90, 120), "pagerank warmup")
-    timed()  # compile + transfer warmup
+    try:
+        timed()  # compile + transfer warmup
+    except Exception as e:
+        # a kernel regression must degrade the number, never lose it:
+        # retry the warmup on the fallback engine
+        _note(f"xspmv warmup FAILED ({e!r}); falling back to csr8")
+        from pygraphblas_tpu import options_set
+        options_set(spmv_engine="csr8")
+        timed()
     done.set()
     _note(f"warmup done in {time.perf_counter() - t0:.1f}s; timing...")
     done = _watchdog(max(min(_remaining() - 30, 450), 90),

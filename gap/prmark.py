@@ -28,11 +28,19 @@ def main():
     p.add_argument("--engine", default=None, choices=["auto", "csr8", "xspmv"],
                    help="SpMV engine (csr8 skips the minutes-long xspmv "
                         "plan build; right choice for one-shot runs)")
+    p.add_argument("--async-plan", action="store_true",
+                   help="never block on the xspmv plan build: rounds run "
+                        "the planless COO tier immediately and upgrade "
+                        "once the background build lands (first-touch "
+                        "tiering for fresh GAP-scale graphs)")
     args = p.parse_args()
 
-    if args.engine:
+    if args.engine or args.async_plan:
         from pygraphblas_tpu.base import options_set
-        options_set(spmv_engine=args.engine)
+        if args.engine:
+            options_set(spmv_engine=args.engine)
+        if args.async_plan:
+            options_set(spmv_plan_async=True)
 
     from pygraphblas_tpu import types, fused
     from pygraphblas_tpu.matrix import Matrix

@@ -1,0 +1,99 @@
+"""GAP-scale end-to-end: fresh urand graph -> PageRank, first touch to
+converged ranks, with the async-plan tiering (VERDICT r2 next-4).
+
+Measures the production first-touch story: a fresh n=2^scale uniform
+random graph (SURVEY §6 urand workload class) is loaded and PageRank
+runs IMMEDIATELY on the planless fused COO tier while the xspmv plan
+builds in a background thread; once the plan lands, later runs upgrade
+to the full-speed engine.  Reports both tiers plus every setup phase.
+
+Run on the TPU host:  python perf/urand_e2e.py [--scale 22] [--iters 50]
+Prints one JSON line at the end.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=22)
+    ap.add_argument("--edgefactor", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--seed", type=int, default=None,
+                    help="default: time-derived, so every run is a "
+                         "genuinely fresh graph (cold plan cache)")
+    ap.add_argument("--plan-wait", type=float, default=3600,
+                    help="max seconds to wait for the background plan")
+    args = ap.parse_args()
+    seed = args.seed if args.seed is not None else int(time.time()) % 100000
+
+    res = {"scale": args.scale, "edgefactor": args.edgefactor,
+           "iters": args.iters, "seed": seed}
+    wall0 = time.perf_counter()
+
+    import jax.numpy as jnp
+    from pygraphblas_tpu import types, fused, options_set
+    from pygraphblas_tpu.generators import urand_edges, to_matrix
+
+    t0 = time.perf_counter()
+    rows, cols, n = urand_edges(args.scale, args.edgefactor, seed=seed)
+    res["gen_s"] = round(time.perf_counter() - t0, 2)
+    res["n"], res["nnz"] = n, len(rows)
+    print(f"# urand s{args.scale}: n={n} nnz={len(rows)} "
+          f"gen {res['gen_s']}s", flush=True)
+
+    t0 = time.perf_counter()
+    A = to_matrix(rows, cols, n, types.FP32)
+    A.wait()
+    res["build_s"] = round(time.perf_counter() - t0, 2)
+
+    options_set(spmv_plan_async=True)
+    key = ("x", True, np.dtype(np.float32).str)
+
+    def timed_pr():
+        t0 = time.perf_counter()
+        r = fused.pagerank(A, itermax=args.iters, tol=0.0)
+        float(jnp.sum(r._vals))
+        return time.perf_counter() - t0, r
+
+    # first touch: the planless COO tier starts iterating immediately
+    t_first, r1 = timed_pr()
+    res["first_pr_s"] = round(t_first, 2)
+    res["first_engine"] = "xspmv" if key in (A._ell_c or {}) else "coo"
+    res["e2e_first_s"] = round(time.perf_counter() - wall0, 2)
+    res["first_nnz_per_s"] = round(res["nnz"] * args.iters / t_first)
+    print(f"# first-touch pagerank ({res['first_engine']} tier): "
+          f"{t_first:.2f}s — end-to-end {res['e2e_first_s']:.1f}s from "
+          "process start", flush=True)
+
+    # wait for the background plan, then measure the upgraded engine
+    t0 = time.perf_counter()
+    while key not in (A._ell_c or {}):
+        if time.perf_counter() - t0 > args.plan_wait:
+            print("# plan build did not land in time", flush=True)
+            break
+        time.sleep(2)
+    res["plan_wait_s"] = round(time.perf_counter() - t0, 2)
+    if key in (A._ell_c or {}):
+        t_up, r2 = timed_pr()          # first xspmv run pays compile
+        t_warm, r2 = timed_pr()
+        res["upgraded_first_s"] = round(t_up, 2)
+        res["warm_pr_s"] = round(t_warm, 3)
+        res["warm_nnz_per_s"] = round(res["nnz"] * args.iters / t_warm)
+        err = float(jnp.max(jnp.abs(r1._vals - r2._vals)))
+        res["tier_max_diff"] = err
+        assert err < 1e-5, f"tier results diverge: {err}"
+    print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -160,6 +160,13 @@ class GlobalConfig:
     # two-phase fallback; "dense"/"esc"/"scipy" force one tier.
     spgemm_engine: str = "auto"
     spgemm_dense_cells: int = 1 << 24
+    # When set, a cold xspmv plan is built in a background thread while
+    # calls run a planless engine (COO/csr8) — first-touch latency at GAP
+    # scale drops from minutes to seconds, and later calls upgrade to the
+    # full-speed engine.  Off by default: the engine switch reorders the
+    # floating-point reduction, so repeated calls are not bit-identical
+    # while the build is in flight.
+    spmv_plan_async: bool = False
 
 
 config = GlobalConfig()
@@ -178,6 +185,7 @@ def options_set(
     spmv_engine=None,
     spgemm_engine=None,
     spgemm_dense_cells=None,
+    spmv_plan_async=None,
 ):
     """Set global library options.
 
@@ -219,6 +227,8 @@ def options_set(
         config.spgemm_engine = spgemm_engine
     if spgemm_dense_cells is not None:
         config.spgemm_dense_cells = int(spgemm_dense_cells)
+    if spmv_plan_async is not None:
+        config.spmv_plan_async = bool(spmv_plan_async)
 
 
 def options_get():

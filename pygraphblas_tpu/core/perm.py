@@ -295,14 +295,19 @@ def _complete_level0(pp, qq, c0, R):
 
 
 def _choose_shape(n, fill):
-    """Pick (D, S, R0): N' = S * 128^D, R0 = N'/128, R0*fill >= n."""
-    import math
+    """Pick (D, S, R0): N' = S * 128^D, R0 = N'/128, R0*fill >= n.
+
+    S may run up to 128 (the bottom subproblems are (S,128) tiles; the
+    sublane select handles any S): keeping D one level lower both avoids
+    two whole permutation passes and keeps R0 close to n/128, so the
+    K == 128 padding (core/xspmv.py) stays cheap — at S <= 16 a size
+    just past a 16*128^(d-1) boundary would jump to 8x junk cells."""
     r_min = -(-n // fill)
     d = 1
-    while 128 ** (d - 1) * 16 < r_min:
+    while 128 ** d < r_min:
         d += 1
     s = -(-r_min // (128 ** (d - 1)))
-    assert 1 <= s <= 16
+    assert 1 <= s <= 128
     r0 = s * 128 ** (d - 1)
     return d, s, r0
 
@@ -663,6 +668,85 @@ def _lane_gather_tasc(x2d, idx8, g, r_l, fold8=None):
     return out.reshape(g * r_l * out_tile // 128, 128)
 
 
+_FORCE_INTERPRET = False  # tests: run the fused kernel via interpret mode
+
+
+def _inner3(x2d, a_in, a_mid, ssel, c_mid, c_in, g, S):
+    """Fused middle of the Benes network: innermost descend pass +
+    (S,128)-tile mid pass + innermost ascend pass in ONE kernel.
+
+    Per group the three passes are closed over an (S*128, 128) slab
+    (S <= 16 by _choose_shape, so <= 1 MB fp32): keeping it VMEM-resident
+    removes 2 of the 5 HBM round trips of a D=3 permutation.  x2d is the
+    descend output of level D-3: (g*S*128, 128) grouped by g."""
+    r_l = S * 128
+    if _FORCE_INTERPRET:
+        pass  # take the Pallas path below under interpret mode
+    elif not _on_tpu() or x2d.dtype.itemsize > 4:
+        cur = _lane_gather_tdesc(x2d, a_in, g, r_l)
+        nsub = cur.shape[0] // S
+        cur = _mid_pass(cur.reshape(nsub, S, 128), a_mid, ssel, c_mid,
+                        S).reshape(nsub * S, 128)
+        return _lane_gather_tasc(cur, c_in, g, r_l)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    x3 = x2d.reshape(g, r_l, 128)
+    ai = a_in.reshape(g, S, 128, 128)
+    ci = c_in.reshape(g, S, 128, 128)
+    am = a_mid.reshape(g, 128, S, 128)
+    cm = c_mid.reshape(g, 128, S, 128)
+    ss = ssel.reshape(g, 128, S, 128) if ssel is not None else am
+
+    def kern(ai_ref, am_ref, ss_ref, cm_ref, ci_ref, x_ref, o_ref):
+        with jax.enable_x64(False):
+            X = x_ref[0].reshape(S, 128, 128)
+            # descend: per-tile lane gather + transpose (rows (b,r') ->
+            # (c1,b))
+            zs = []
+            for b in range(S):
+                y = jnp.take_along_axis(
+                    X[b], ai_ref[0, b].astype(jnp.int32), axis=1)
+                zs.append(y.T)
+            Z = jnp.stack(zs, axis=1)          # (128, S, 128)
+            # mid: A gather + sublane select + C gather within (S,128)
+            ami = am_ref[0].reshape(128 * S, 128).astype(jnp.int32)
+            y = jnp.take_along_axis(Z.reshape(128 * S, 128), ami, axis=1)
+            y = y.reshape(128, S, 128)
+            if S > 1:
+                si = ss_ref[0].astype(jnp.int32)
+                acc = jnp.zeros_like(y)
+                for s0 in range(S):
+                    acc = jnp.where(si == s0, y[:, s0:s0 + 1, :], acc)
+                y = acc
+            cmi = cm_ref[0].reshape(128 * S, 128).astype(jnp.int32)
+            M = jnp.take_along_axis(y.reshape(128 * S, 128), cmi, axis=1)
+            M = M.reshape(128, S, 128)
+            # ascend: inverse transpose + lane gather, rows back to (b,r')
+            for b in range(S):
+                o_ref[0, b] = jnp.take_along_axis(
+                    M[:, b, :].T, ci_ref[0, b].astype(jnp.int32), axis=1)
+
+    specs4 = [pl.BlockSpec((1,) + a.shape[1:],
+                           lambda i: (i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+              for a in (ai, am, ss, cm, ci)]
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((g, S, 128, 128), x2d.dtype),
+            grid=(g,),
+            in_specs=specs4 + [pl.BlockSpec((1, r_l, 128),
+                                            lambda i: (i, 0, 0),
+                                            memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, S, 128, 128),
+                                   lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=_FORCE_INTERPRET,
+        )(ai, am, ss, cm, ci, x3)
+    return out.reshape(g * r_l, 128)
+
+
 def _mid_pass(x3d, a8, ssel8, c8, s):
     """Fused A_last + sublane-select + C_last within (S,128) tiles.
     x3d: (nsub, S, 128)."""
@@ -730,10 +814,17 @@ def _apply_staged(x, n, D, S, R0, K, a_stages, c_stages, ssel,
     # gather kernels (each fusion removes one full HBM round trip)
     cur = xe                      # (rows_total, 128) at each level
     shapes = []
+    # fuse the innermost descend + mid + innermost ascend into one
+    # VMEM-resident kernel when the layout allows (K == 128 plans with
+    # D >= 3; the D == 2 middle would displace the fold8-fused ascend;
+    # S <= 24 keeps the per-group slab + intermediates within VMEM)
+    fuse_mid = D >= 3 and K == 128 and S <= 24
     for lvl in range(D - 1):
         r_l = R0 // 128 ** lvl
         g_count = cur.shape[0] // r_l
         shapes.append((g_count, r_l))
+        if fuse_mid and lvl == D - 2:
+            break
         if r_l >= 128:
             cur = _lane_gather_tdesc(cur, a_stages[lvl], g_count, r_l)
         else:
@@ -741,12 +832,19 @@ def _apply_staged(x, n, D, S, R0, K, a_stages, c_stages, ssel,
             t = cur.reshape(g_count, r_l, 128)
             t = jnp.swapaxes(t, 1, 2)
             cur = t.reshape(g_count * 128, r_l)
-    # bottom level: fused A + select + C within (S,128) tiles
-    nsub = cur.shape[0] // S
-    cur = _mid_pass(cur.reshape(nsub, S, 128), a_stages[D - 1], ssel,
-                    c_stages[D - 1], S).reshape(nsub * S, 128)
+    if fuse_mid:
+        g_count, r_l = shapes[-1]          # r_l == 128 * S here
+        cur = _inner3(cur, a_stages[D - 2], a_stages[D - 1], ssel,
+                      c_stages[D - 1], c_stages[D - 2], g_count, S)
+        start_asc = D - 3
+    else:
+        # bottom level: fused A + select + C within (S,128) tiles
+        nsub = cur.shape[0] // S
+        cur = _mid_pass(cur.reshape(nsub, S, 128), a_stages[D - 1], ssel,
+                        c_stages[D - 1], S).reshape(nsub * S, 128)
+        start_asc = D - 2
     # ascend: inverse transposes fused with the C gathers
-    for lvl in range(D - 2, -1, -1):
+    for lvl in range(start_asc, -1, -1):
         g_count, r_l = shapes[lvl]
         if r_l >= 128:
             # final pass: optionally fold consecutive 8-row blocks

@@ -44,7 +44,7 @@ MIN_NNZ = 1 << 15
 # content hash (analogous to the reference's .grb binfile caches,
 # gap/prmark.py:48)
 PLAN_CACHE_DIR = os.environ.get("PYGB_PLAN_CACHE", "/tmp/pygb_plans")
-_PLAN_VERSION = 10
+_PLAN_VERSION = 11
 
 _ADDS = {
     "PLUS": (lambda a, b: a + b, "add"),
@@ -110,23 +110,32 @@ class XSpmvPlan:
         return p
 
     @staticmethod
+    def cache_path(rows, cols, vals, nrows, ncols, dtype):
+        """Disk-cache path for this plan (content-hash keyed), or None
+        when the matrix is below the caching threshold."""
+        if len(rows) < (1 << 20):
+            return None
+        h = hashlib.sha1()
+        h.update(np.ascontiguousarray(rows, np.int64).tobytes())
+        h.update(np.ascontiguousarray(cols, np.int64).tobytes())
+        h.update(np.ascontiguousarray(vals).tobytes())
+        h.update(f"{nrows}|{ncols}|{np.dtype(dtype).str}|"
+                 f"{_PLAN_VERSION}".encode())
+        return os.path.join(PLAN_CACHE_DIR, h.hexdigest() + ".plan")
+
+    @staticmethod
     def build(rows, cols, vals, nrows, ncols, dtype, cache=True):
         """rows/cols/vals: canonical COO (any order), numpy arrays."""
         key = None
-        if cache and len(rows) >= (1 << 20):
-            h = hashlib.sha1()
-            h.update(np.ascontiguousarray(rows, np.int64).tobytes())
-            h.update(np.ascontiguousarray(cols, np.int64).tobytes())
-            h.update(np.ascontiguousarray(vals).tobytes())
-            h.update(f"{nrows}|{ncols}|{np.dtype(dtype).str}|"
-                     f"{_PLAN_VERSION}".encode())
-            key = os.path.join(PLAN_CACHE_DIR, h.hexdigest() + ".plan")
-            if os.path.exists(key):
-                try:
-                    with open(key, "rb") as f:
-                        return pickle.load(f)
-                except Exception:
-                    pass
+        if cache:
+            key = XSpmvPlan.cache_path(rows, cols, vals, nrows, ncols,
+                                       dtype)
+        if key is not None and os.path.exists(key):
+            try:
+                with open(key, "rb") as f:
+                    return pickle.load(f)
+            except Exception:
+                pass
         p = XSpmvPlan._build(rows, cols, vals, nrows, ncols, dtype)
         if key is not None:
             try:
@@ -179,6 +188,18 @@ class XSpmvPlan:
         # bijection space: covers both the slot-major dst (8*m1p) and the
         # (possibly longer, row-padded) decode output (S1*128)
         n_perm = max(8 * m1p, p.decode.S * 128)
+        # pad up to the next S*128^D boundary when the overhead is small:
+        # a K == 128 permutation unlocks the native whole-plan Benes
+        # assembly, the fold8-fused ascend and the fused middle kernel
+        # (all gated on full-lane embeddings).  Real plan sizes sit just
+        # under the boundary (kron-20: K = 127), so this is typically a
+        # <1% pad for a large kernel-path win; sizes that would pad worse
+        # than 128/112 keep the exact size.
+        from .perm import _choose_shape
+
+        _, _, r0 = _choose_shape(n_perm, 128)
+        if -(-n_perm // r0) >= 112:
+            n_perm = r0 * 128
         p.n_perm = n_perm
 
         # dst position of edge: k-th edge of row r (col order within row).

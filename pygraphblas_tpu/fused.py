@@ -82,6 +82,31 @@ def _pagerank_loop(plan_cols, plan_vals, levels, final_src, n_blocks,
     return r, rdiff, iters
 
 
+@partial(jax.jit, static_argnames=("n", "itermax"))
+def _pagerank_loop_coo(rows, cols, n, itermax, d_inv_damped, teleport,
+                       tol):
+    """Planless PageRank loop over raw COO triples (gather+segment-sum).
+
+    The instant-start tier under ``spmv_plan_async``: no plan build of
+    any kind, so a fresh GAP-scale matrix starts iterating in seconds
+    while the xspmv plan builds in the background."""
+    r0 = jnp.full((n,), 1.0 / n, jnp.float32)
+
+    def cond(carry):
+        r, rdiff, i = carry
+        return jnp.logical_and(rdiff > tol, i < itermax)
+
+    def body(carry):
+        r, _, i = carry
+        w = r * d_inv_damped
+        contrib = jax.ops.segment_sum(w[rows], cols, num_segments=n)
+        r_new = teleport + contrib
+        return r_new, jnp.sum(jnp.abs(r_new - r)), i + 1
+
+    return jax.lax.while_loop(cond, body,
+                              (r0, jnp.float32(np.inf), jnp.int32(0)))
+
+
 def _deg_vec(A):
     n = A.nrows
     if "deg" not in A._ell_c:
@@ -100,8 +125,20 @@ def pagerank(A, damping=0.85, itermax=100, tol=1e-4):
     """
     n = A.nrows
     sem = types.FP32.PLUS_SECOND
+    plan = waiting = None
     if _xspmv_ok(A, sem, np.float32):
-        plan = A._xspmv_plan(True, np.float32)  # y = A^T w
+        plan = A._xspmv_plan(True, np.float32,  # y = A^T w
+                             async_build=config.spmv_plan_async)
+        waiting = plan is None
+        if waiting:  # build in flight: run the instant COO tier
+            rows, cols, _ = A._device_coo()
+            deg = _deg_vec(A)
+            d_inv = jnp.where(deg > 0, damping / jnp.maximum(deg, 1.0),
+                              0.0)
+            r, rdiff, iters = _pagerank_loop_coo(
+                rows, cols, n, itermax, d_inv.astype(jnp.float32),
+                jnp.float32((1 - damping) / n), jnp.float32(tol))
+    if plan is not None:
         key = "fused_pr_x"
         if key not in A._ell_c:
             @partial(jax.jit, static_argnames=("itermax",))
@@ -128,7 +165,7 @@ def pagerank(A, damping=0.85, itermax=100, tol=1e-4):
         r, rdiff, iters = A._ell_c[key](
             plan, d_inv.astype(jnp.float32), jnp.float32((1 - damping) / n),
             jnp.float32(tol), itermax)
-    else:
+    elif not waiting:
         plan, args = _plan_args(A, True)  # transposed orientation
         deg = _deg_vec(A)
         d_inv = jnp.where(deg > 0, damping / jnp.maximum(deg, 1.0), 0.0)

@@ -20,6 +20,7 @@ API surface and semantics follow the reference ``pygraphblas/matrix.py``
 """
 
 import operator
+import os
 import random as _stdlib_random
 import types as _pytypes
 from array import array
@@ -1919,25 +1920,65 @@ class Matrix:
                                             self._ncols)
         return self._ell_c[key]
 
-    def _xspmv_plan(self, transpose, dtype):
+    def _xspmv_plan(self, transpose, dtype, async_build=False):
         """Gather-free decode/permute/fold SpMV plan (core/xspmv.py),
-        cached per (orientation, dtype)."""
+        cached per (orientation, dtype).
+
+        With ``async_build``, a cold plan (no memory or disk copy) is
+        built in a daemon thread and None is returned immediately — the
+        caller runs a planless engine meanwhile and upgrades once the
+        build lands (first-touch tiering at GAP scale; the plan build is
+        a compile-like cost, minutes at nnz >= 10^7 on one core)."""
         from .core.xspmv import XSpmvPlan
 
         self._flush()
         if self._ell_c is None:
             self._ell_c = {}
         key = ("x", bool(transpose), np.dtype(dtype).str)
-        if key not in self._ell_c:
-            r, c, v = self._coo()
-            if transpose:
-                r, c = c, r
-                nr, nc = self._ncols, self._nrows
-            else:
-                nr, nc = self._nrows, self._ncols
+        if key in self._ell_c:
+            return self._ell_c[key]
+        r, c, v = self._coo()
+        if transpose:
+            r, c = c, r
+            nr, nc = self._ncols, self._nrows
+        else:
+            nr, nc = self._nrows, self._ncols
+        if not async_build:
             self._ell_c[key] = XSpmvPlan.build(r, c, v, nr, nc,
                                                np.dtype(dtype))
-        return self._ell_c[key]
+            return self._ell_c[key]
+        pkey = ("xpath",) + key
+        if pkey not in self._ell_c:  # hash once, not per call
+            self._ell_c[pkey] = XSpmvPlan.cache_path(r, c, v, nr, nc,
+                                                     np.dtype(dtype))
+        path = self._ell_c[pkey]
+        if path is not None and os.path.exists(path):
+            self._ell_c[key] = XSpmvPlan.build(r, c, v, nr, nc,
+                                               np.dtype(dtype))
+            return self._ell_c[key]
+        bkey = ("xbuilding",) + key
+        if bkey not in self._ell_c:
+            import threading
+
+            # bind the cache dict itself: if the matrix is modified,
+            # _flush() swaps in a fresh dict and this (now stale) plan
+            # lands in the discarded one — harmless by construction
+            cache = self._ell_c
+
+            def _bg():
+                try:
+                    cache[key] = XSpmvPlan.build(r, c, v, nr, nc,
+                                                 np.dtype(dtype))
+                except Exception:  # plan build is an optimization only
+                    pass
+                finally:
+                    cache.pop(bkey, None)
+
+            t = threading.Thread(target=_bg, daemon=True,
+                                 name="xspmv-plan-build")
+            self._ell_c[bkey] = t
+            t.start()
+        return None
 
     def _sparse_mxv(self, other, semiring, out, mask, accum, desc,
                     transpose, flip_mul=False):
@@ -1993,9 +2034,17 @@ class Matrix:
                  and xs.supported(semiring, zt, self.nvals)
                  and (config.spmv_engine == "xspmv"
                       or (self._ell_c is not None and xkey in self._ell_c)))
+        xplan = None
         if use_x:
-            tv, tm = xs.xspmv(self._xspmv_plan(transpose, zt),
-                              xv.astype(zt), semiring, zt,
+            xplan = self._xspmv_plan(transpose, zt)
+        elif (config.spmv_plan_async and config.spmv_engine == "auto"
+              and other.nvals == other.size
+              and xs.supported(semiring, zt, self.nvals)):
+            # kick off (or poll) the background plan build: repeated
+            # eager SpMV loops upgrade to xspmv once it lands
+            xplan = self._xspmv_plan(transpose, zt, async_build=True)
+        if xplan is not None:
+            tv, tm = xs.xspmv(xplan, xv.astype(zt), semiring, zt,
                               flip_mul=flip_mul)
         elif pk.plan_supported(semiring):
             tv, tm = pk.run_spmv_masked(self._spmv_plan(transpose), xv, xm,

@@ -60,11 +60,31 @@ def test_perm_apply_fold8(n):
 
 
 def test_choose_shape_bounds():
-    for n in [16400, 100000, 1 << 21, 1 << 24]:
+    for n in [16400, 100000, 1 << 21, 1 << 24, 75 * 10 ** 6]:
         d, s, r0 = _choose_shape(n, 112)
-        assert 1 <= s <= 16
+        assert 1 <= s <= 128
         assert r0 == s * 128 ** (d - 1)
         assert r0 * 112 >= n
+        # K == 128 padding (xspmv) is never worse than 128/112
+        assert r0 * 128 <= -(-n // 112) * 128 * 128 // 112 + 128 ** d
+
+
+def test_perm_wide_s_roundtrip():
+    """S > 16 plans (one level shallower): bottom (S,128) tiles with the
+    wide sublane select, K == 128 when n == S*128^D exactly."""
+    n = 36 * 128 * 128                 # D=2, S=36, K=128
+    rng = np.random.RandomState(36)
+    src = rng.permutation(n)
+    plan = PermPlan.build(src)
+    assert plan.S == 36 and plan.K == 128
+    x = rng.rand(n).astype(np.float32)
+    assert np.array_equal(np.asarray(plan.apply(jnp.asarray(x))), x[src])
+    folded, ok = plan.apply_fold8(jnp.asarray(x), np.float32(0),
+                                  lambda a, b: a + b)
+    assert ok
+    want = x[src].reshape(-1, 8, 128).sum(axis=1).reshape(-1)
+    assert np.allclose(np.asarray(folded)[:want.shape[0]], want,
+                       rtol=1e-6)
 
 
 def test_greedy_color_valid():
@@ -76,3 +96,56 @@ def test_greedy_color_valid():
     col = _greedy_color(src, dst, n_rows, rng)
     assert len(np.unique(src * 128 + col)) == n
     assert len(np.unique(dst * 128 + col)) == n
+
+
+def test_inner3_kernel_matches_fallback():
+    """The fused middle kernel (_inner3, descend+mid+ascend in one
+    pallas_call) must match the three composed fallback passes for any
+    index content — run via interpret mode on CPU."""
+    from pygraphblas_tpu.core import perm
+
+    rng = np.random.RandomState(11)
+    for g, S in [(2, 1), (3, 3), (2, 16)]:
+        r_l = 128 * S
+        x = jnp.asarray(rng.rand(g * r_l, 128).astype(np.float32))
+        a_in = jnp.asarray(rng.randint(0, 128, (g * S * 128, 128),
+                                       dtype=np.int8))
+        c_in = jnp.asarray(rng.randint(0, 128, (g * S * 128, 128),
+                                       dtype=np.int8))
+        a_mid = jnp.asarray(rng.randint(0, 128, (g * 128 * S, 128),
+                                        dtype=np.int8))
+        c_mid = jnp.asarray(rng.randint(0, 128, (g * 128 * S, 128),
+                                        dtype=np.int8))
+        ssel = None
+        if S > 1:
+            ssel = jnp.asarray(rng.randint(0, S, (g * 128, S, 128),
+                                           dtype=np.int8))
+        want = np.asarray(perm._inner3(x, a_in, a_mid, ssel, c_mid, c_in,
+                                       g, S))
+        perm._FORCE_INTERPRET = True
+        try:
+            got = np.asarray(perm._inner3(x, a_in, a_mid, ssel, c_mid,
+                                          c_in, g, S))
+        finally:
+            perm._FORCE_INTERPRET = False
+        assert np.array_equal(got, want), (g, S)
+
+
+def test_perm_fused_middle_full_plan():
+    """n == S*128^D exactly -> K == 128 native plan with D == 3: the
+    staged executor takes the fused-middle route (+ fold8 ascend)."""
+    n = 1 << 22                       # D=3, S=2, K=128
+    rng = np.random.RandomState(7)
+    src = rng.permutation(n)
+    plan = PermPlan.build(src)
+    if plan.K != 128 or plan.D < 3:
+        pytest.skip("native exact colorer unavailable")
+    x = rng.rand(n).astype(np.float32)
+    out = np.asarray(plan.apply(jnp.asarray(x)))
+    assert np.array_equal(out, x[src])
+    folded, ok = plan.apply_fold8(jnp.asarray(x), np.float32(0),
+                                  lambda a, b: a + b)
+    assert ok
+    want = x[src].reshape(-1, 8, 128).sum(axis=1).reshape(-1)
+    assert np.allclose(np.asarray(folded)[:want.shape[0]], want,
+                       rtol=1e-6)
