@@ -264,14 +264,30 @@ PyObject* py_sort_dedup(PyObject*, PyObject* args) {
 // consecutive incident edges at every node; the pairing decomposes the
 // multigraph into closed trails that alternate sides (bipartite), so
 // alternating orientation along each trail halves every node's degree
-// exactly.  Edge arrays (u, v, id) are kept contiguous per call and
-// partitioned together, so deeper levels are cache-resident.
+// exactly.  The walk itself is a dependent pointer chase (2-3 DRAM
+// misses per edge), so large subproblems run W interleaved walkers in a
+// lockstep software pipeline (prefetch one phase ahead) — the other
+// walkers' visits hide each walker's miss latency.  Walkers claim edges
+// into "segments"; every pairing constraint is simply "the two paired
+// edges get opposite bits", so the untraversed boundary pairings of the
+// segments (tail at start, head at collision) become parity relations
+// between segments, resolved exactly with a parity union-find (the
+// relations along an edge-cycle are consistent: even cycles are
+// 2-colorable).  Edge arrays (u, v, id) are kept contiguous per call
+// and partitioned together, so deeper levels are cache-resident.
+// Offsets are int32: callers guarantee n < 2^30 edges per subproblem.
+struct BenesRec { int32_t u, v, su, sv; };  // endpoints + slots, 1 line
+struct BenesSeg {                           // POD, no per-seg allocation
+  int32_t tail_e, tail_x;  // (own edge, partner across start pairing)
+  int32_t head_e, head_x;  // (own edge, collision edge)
+};
+
 struct BenesCtx {
-  std::vector<int64_t> seg;    // per node-key: -(segment start + 1), or 0
-  std::vector<int64_t> fill;   // per node-key: fill cursor
+  std::vector<int32_t> seg;    // per node-key: -(segment start + 1), or 0
+  std::vector<int32_t> fill;   // per node-key: fill cursor
   std::vector<int32_t> adj;    // incidence slots -> local edge id
-  std::vector<int32_t> eslot;  // per local edge: slot at u (2e), at v (2e+1)
-  std::vector<uint8_t> vis;    // per local edge
+  std::vector<BenesRec> rec;   // per local edge
+  std::vector<int32_t> owner;  // per local edge: segment id, or -1
   std::vector<uint8_t> bit;    // per local edge
   std::vector<int32_t> su, sv, sid;  // partition scratch (size m)
   uint8_t* color;
@@ -292,51 +308,189 @@ static void benes_orient(BenesCtx& c, const int32_t* uu, const int32_t* vv,
   for (int64_t i = 0; i < n; ++i) {
     int64_t ku = 2 * (int64_t)uu[i], kv = 2 * (int64_t)vv[i] + 1;
     if (c.seg[ku] > 0) {
-      int64_t d = c.seg[ku];
-      c.seg[ku] = -(off + 1);
-      c.fill[ku] = off;
+      int32_t d = c.seg[ku];
+      c.seg[ku] = (int32_t)(-(off + 1));
+      c.fill[ku] = (int32_t)off;
       off += d;
     }
     if (c.seg[kv] > 0) {
-      int64_t d = c.seg[kv];
-      c.seg[kv] = -(off + 1);
-      c.fill[kv] = off;
+      int32_t d = c.seg[kv];
+      c.seg[kv] = (int32_t)(-(off + 1));
+      c.fill[kv] = (int32_t)off;
       off += d;
     }
   }
-  // fill incidence; record each edge's two slots
+  // fill incidence; record each edge's endpoints + slots in one line
   for (int64_t i = 0; i < n; ++i) {
-    int64_t su_ = c.fill[2 * (int64_t)uu[i]]++;
-    int64_t sv_ = c.fill[2 * (int64_t)vv[i] + 1]++;
+    int32_t su_ = c.fill[2 * (int64_t)uu[i]]++;
+    int32_t sv_ = c.fill[2 * (int64_t)vv[i] + 1]++;
     c.adj[su_] = (int32_t)i;
     c.adj[sv_] = (int32_t)i;
-    c.eslot[2 * i] = (int32_t)su_;
-    c.eslot[2 * i + 1] = (int32_t)sv_;
+    c.rec[i] = {uu[i], vv[i], su_, sv_};
   }
-  // walk trails: partner slot of s within segment [st, ..) is st + ((s-st)^1)
-  for (int64_t i = 0; i < n; ++i) {
-    if (c.vis[i]) continue;
-    int64_t e = i;
-    int side = 0;  // traverse e from its left endpoint first
-    while (!c.vis[e]) {
-      c.vis[e] = 1;
-      c.bit[e] = (uint8_t)side;
-      // arrive at the other endpoint; exit via the partner slot there
-      int64_t arrive_key = side == 0 ? 2 * (int64_t)vv[e] + 1
-                                     : 2 * (int64_t)uu[e];
-      int64_t s = c.eslot[2 * e + (side == 0 ? 1 : 0)];
-      int64_t st = -(c.seg[arrive_key]) - 1;
-      int64_t ps = st + ((s - st) ^ 1);
-      e = c.adj[ps];
-      // next edge is traversed FROM arrive_key's side
-      side = (arrive_key & 1) ? 1 : 0;
+
+  if (n < (1 << 16)) {
+    // cache-resident subproblem: serial walk, no segment machinery
+    for (int64_t i = 0; i < n; ++i) {
+      if (c.owner[i] >= 0) continue;
+      int64_t e = i;
+      int side = 0;
+      while (c.owner[e] < 0) {
+        c.owner[e] = 0;
+        c.bit[e] = (uint8_t)side;
+        const BenesRec& r = c.rec[e];
+        int64_t arrive_key; int32_t s;
+        if (side == 0) { arrive_key = 2 * (int64_t)r.v + 1; s = r.sv; }
+        else           { arrive_key = 2 * (int64_t)r.u;     s = r.su; }
+        int32_t st = -(c.seg[arrive_key]) - 1;
+        int32_t ps = st + ((s - st) ^ 1);
+        e = c.adj[ps];
+        side = (arrive_key & 1) ? 1 : 0;
+      }
     }
+  } else {
+    // ---- multi-walker trail walk ----
+    constexpr int W = 32;
+    struct Walker { int64_t e; int side; int32_t seg_id; bool active; };
+    std::vector<BenesSeg> segs;
+    segs.reserve(1024);
+    Walker wk[W];
+    // staggered start regions: consecutive edges are often pairing
+    // partners (the v incidence fills in edge order), so walkers
+    // starting at adjacent edges would collide on their first step
+    int64_t region_scan[W], region_end[W];
+    for (int i = 0; i < W; ++i) {
+      region_scan[i] = n * i / W;
+      region_end[i] = n * (i + 1) / W;
+    }
+    int64_t scan = 0;  // shared fallback
+    int n_active = 0;
+    auto start_walker = [&](Walker& w, int i) {
+      int64_t s = -1;
+      while (region_scan[i] < region_end[i]) {
+        if (c.owner[region_scan[i]] < 0) { s = region_scan[i]++; break; }
+        ++region_scan[i];
+      }
+      if (s < 0) {
+        while (scan < n && c.owner[scan] >= 0) ++scan;
+        if (scan >= n) { w.active = false; return false; }
+        s = scan++;
+      }
+      w.e = s; w.side = 0; w.active = true;
+      w.seg_id = (int32_t)segs.size();
+      c.owner[s] = w.seg_id;
+      c.bit[s] = 0;
+      // tail pairing: entering at the u side (side=0), the u-slot
+      // pairing is never traversed by this walker — record its partner
+      const BenesRec& r0 = c.rec[s];
+      int32_t st = -(c.seg[2 * (int64_t)r0.u]) - 1;
+      int32_t ps = st + ((r0.su - st) ^ 1);
+      segs.push_back({(int32_t)s, c.adj[ps], -1, -1});
+      return true;
+    };
+    for (int i = 0; i < W; ++i) n_active += start_walker(wk[i], i) ? 1 : 0;
+    // lockstep batches: tight predictable loops; a walker's prefetch is
+    // covered by the other walkers' visits in the same batch
+    //   phase 0: rec[e] -> partner slot ps; prefetch adj[ps]
+    //   phase 1: j = adj[ps]; prefetch rec[j] + owner[j]
+    //   phase 2: claim j (or collide + restart)
+    struct Pipe { int32_t ps, nside; int64_t j; };
+    Pipe pp[W];
+    for (int i = 0; i < W; ++i)
+      if (wk[i].active) __builtin_prefetch(&c.rec[wk[i].e]);
+    while (n_active > 0) {
+      for (int i = 0; i < W; ++i) {
+        Walker& w = wk[i];
+        if (!w.active) continue;
+        const BenesRec& r = c.rec[w.e];
+        int64_t arrive_key; int32_t s;
+        if (w.side == 0) { arrive_key = 2 * (int64_t)r.v + 1; s = r.sv; }
+        else             { arrive_key = 2 * (int64_t)r.u;     s = r.su; }
+        int32_t st = -(c.seg[arrive_key]) - 1;
+        Pipe& p = pp[i];
+        p.ps = st + ((s - st) ^ 1);
+        p.nside = (arrive_key & 1) ? 1 : 0;
+        __builtin_prefetch(&c.adj[p.ps]);
+      }
+      for (int i = 0; i < W; ++i) {
+        if (!wk[i].active) continue;
+        pp[i].j = c.adj[pp[i].ps];
+        __builtin_prefetch(&c.rec[pp[i].j]);
+        __builtin_prefetch(&c.owner[pp[i].j]);
+      }
+      for (int i = 0; i < W; ++i) {
+        Walker& w = wk[i];
+        if (!w.active) continue;
+        Pipe& p = pp[i];
+        int64_t j = p.j;
+        if (c.owner[j] < 0) {
+          c.owner[j] = w.seg_id;
+          c.bit[j] = (uint8_t)p.nside;
+          w.e = j; w.side = p.nside;
+        } else {
+          BenesSeg& sg = segs[w.seg_id];
+          sg.head_e = (int32_t)w.e;
+          sg.head_x = (int32_t)j;
+          if (!start_walker(w, i)) { --n_active; continue; }
+          __builtin_prefetch(&c.rec[w.e]);
+        }
+      }
+    }
+
+    // ---- phase resolution: parity union-find over segments ----
+    //   flip(s) ^ flip(owner(x)) = 1 ^ bit[e] ^ bit[x]
+    int32_t k = (int32_t)segs.size();
+    std::vector<int32_t> parent(k);
+    std::vector<uint8_t> rel(k, 0);  // parity to parent
+    for (int32_t s = 0; s < k; ++s) parent[s] = s;
+    std::vector<int32_t> path;
+    auto find = [&](int32_t s, uint8_t& par) {
+      uint8_t p = 0;
+      path.clear();
+      while (parent[s] != s) { path.push_back(s); s = parent[s]; }
+      for (int64_t i = (int64_t)path.size() - 1; i >= 0; --i) {
+        int32_t v = path[i];
+        p ^= rel[v];
+        parent[v] = s;  // full path compression
+        rel[v] = p;
+      }
+      par = path.empty() ? 0 : rel[path[0]];
+      return s;
+    };
+    auto unite = [&](int32_t a, int32_t b, uint8_t p) {
+      uint8_t pa, pb;
+      int32_t ra = find(a, pa), rb = find(b, pb);
+      if (ra == rb) return;  // consistent by construction
+      parent[ra] = rb;
+      rel[ra] = (uint8_t)(pa ^ p ^ pb);
+    };
+    for (int32_t s = 0; s < k; ++s) {
+      const BenesSeg& sg = segs[s];
+      int32_t t = c.owner[sg.tail_x];
+      if (t != s)
+        unite(s, t,
+              (uint8_t)((1 ^ c.bit[sg.tail_e] ^ c.bit[sg.tail_x]) & 1));
+      if (sg.head_e >= 0) {
+        t = c.owner[sg.head_x];
+        if (t != s)
+          unite(s, t,
+                (uint8_t)((1 ^ c.bit[sg.head_e] ^ c.bit[sg.head_x]) & 1));
+      }
+    }
+    std::vector<uint8_t> flip(k);
+    for (int32_t s = 0; s < k; ++s) {
+      uint8_t p;
+      find(s, p);
+      flip[s] = p;
+    }
+    for (int64_t i = 0; i < n; ++i) c.bit[i] ^= flip[c.owner[i]];
   }
-  // reset touched keys + flags
+
+  // reset touched keys + owners
   for (int64_t i = 0; i < n; ++i) {
     c.seg[2 * (int64_t)uu[i]] = 0;
     c.seg[2 * (int64_t)vv[i] + 1] = 0;
-    c.vis[i] = 0;
+    c.owner[i] = -1;
   }
 }
 
@@ -363,8 +517,8 @@ static void benes_init_ctx(BenesCtx& c, int64_t nkeys, int64_t m,
   c.seg.assign(nkeys, 0);
   c.fill.assign(nkeys, 0);
   c.adj.resize(2 * m);
-  c.eslot.resize(2 * m);
-  c.vis.assign(m, 0);
+  c.rec.resize(m);
+  c.owner.assign(m, -1);
   c.bit.assign(m, 0);
   c.su.resize(m);
   c.sv.resize(m);
@@ -420,7 +574,9 @@ PyObject* py_benes_color(PyObject*, PyObject* args) {
   if (!PyArg_ParseTuple(args, "y*y*LLi", &ub, &vb, &nl, &nr, &bits))
     return nullptr;
   int64_t m = ub.len / 4;
-  if ((int64_t)(vb.len / 4) != m || bits < 0 || bits > 7) {
+  // m < 2^30: incidence offsets (2m) are int32 in BenesCtx
+  if ((int64_t)(vb.len / 4) != m || bits < 0 || bits > 7 ||
+      m >= (1LL << 30)) {
     PyBuffer_Release(&ub);
     PyBuffer_Release(&vb);
     PyErr_SetString(PyExc_ValueError, "benes_color: bad arguments");
@@ -460,7 +616,8 @@ PyObject* py_benes_stages(PyObject*, PyObject* args) {
   if (!PyArg_ParseTuple(args, "y*LLLL", &sb, &n, &D, &S, &R0))
     return nullptr;
   const int64_t Np = (int64_t)R0 * 128;
-  if ((int64_t)(sb.len / 8) != n || n > Np || D < 1 || Np >= (1LL << 31)) {
+  // Np < 2^30: incidence offsets (2*Np) are int32 in BenesCtx
+  if ((int64_t)(sb.len / 8) != n || n > Np || D < 1 || Np >= (1LL << 30)) {
     PyBuffer_Release(&sb);
     PyErr_SetString(PyExc_ValueError, "benes_stages: bad arguments");
     return nullptr;
