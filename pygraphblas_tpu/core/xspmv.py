@@ -165,8 +165,14 @@ class XSpmvPlan:
         # ids are (skew killed the one-stage windows at GAP scale)
         corder = np.lexsort((rows, cols))
         colv = cols[corder]
-        uniq = np.unique(colv)
-        rank = np.searchsorted(uniq, colv)
+        # colv is sorted: O(n) unique + rank (np.unique would re-sort —
+        # tens of seconds at GAP scale)
+        newc = np.empty(nnz, bool)
+        if nnz:
+            newc[0] = True
+            np.not_equal(colv[1:], colv[:-1], out=newc[1:])
+        uniq = colv[newc]
+        rank = np.cumsum(newc, dtype=np.int32) - 1
         p.pre = MonoPlan.build(uniq, ncols, dtype.itemsize)
         p.decode = MonoPlan.build(rank, len(uniq), dtype.itemsize)
         vc = np.zeros(p.decode.S * 128, dtype)
@@ -177,8 +183,14 @@ class XSpmvPlan:
         # --- row order: degrees, group offsets, slot-major dst ------------
         rorder = np.lexsort((cols, rows))
         rsorted = rows[rorder]
-        urows, starts, degs = np.unique(rsorted, return_index=True,
-                                        return_counts=True)
+        # rsorted is sorted: O(n) unique/starts/counts
+        newr = np.empty(nnz, bool)
+        if nnz:
+            newr[0] = True
+            np.not_equal(rsorted[1:], rsorted[:-1], out=newr[1:])
+        starts = np.flatnonzero(newr)
+        urows = rsorted[starts]
+        degs = np.diff(np.append(starts, nnz))
         g_r = -(-degs // 8)                       # level-1 groups per row
         gof = np.zeros(len(urows), np.int64)
         gof[1:] = np.cumsum(g_r)[:-1]
@@ -206,13 +218,15 @@ class XSpmvPlan:
         # Layout: blocks of (8 slots x 128 groups) so the level-0 8-ary
         # fold reduces over the SUBLANE dim of (8, 128) vreg tiles — one
         # in-register op per tile instead of 8 strided 9MB streams.
-        k_within = np.arange(nnz) - np.repeat(starts, degs)
-        grp = np.repeat(gof, degs) + k_within // 8
+        # int32 throughout: all positions < n_perm < 2^30
+        k_within = (np.arange(nnz, dtype=np.int32)
+                    - np.repeat(starts, degs).astype(np.int32))
+        grp = np.repeat(gof, degs).astype(np.int32) + k_within // 8
         slot = k_within % 8
         dstpos = (grp // 128) * 1024 + slot * 128 + (grp % 128)
         # src position (col-order index) of the same edge
-        inv_corder = np.empty(nnz, np.int64)
-        inv_corder[corder] = np.arange(nnz)
+        inv_corder = np.empty(nnz, np.int32)
+        inv_corder[corder] = np.arange(nnz, dtype=np.int32)
         srcpos = inv_corder[rorder]
         # complete to a bijection on n_perm: pads <-> pads
         src_of_dst = np.full(n_perm, -1, np.int64)
@@ -254,7 +268,7 @@ class XSpmvPlan:
             # slot-major child index: child s of group j of active row r is
             # F_k[off_k[r] + 8j + s]; groups laid out blockwise: for each
             # block of 128 groups, 8 slot rows of 128.
-            gidx = np.full((m_next_p // 128, 8, 128), -1, np.int64)
+            gidx = np.full((m_next_p // 128, 8, 128), -1, np.int32)
             rr = np.repeat(np.arange(len(urows))[act], c_n_act)
             jj = np.arange(m_next) - np.repeat(off_n_act, c_n_act)
             base = off_k[rr] + 8 * jj
