@@ -21,6 +21,48 @@
 #include <vector>
 #include <thread>
 
+#include <sys/mman.h>
+
+#ifndef MADV_COLLAPSE
+#define MADV_COLLAPSE 25
+#endif
+
+// Back a populated buffer with 2 MB huge pages (synchronous THP
+// collapse, Linux 6.1+).  The Benes trail walk randomly accesses
+// multi-GB arrays; with 4 KB pages the page tables themselves fall out
+// of L2 at GAP scale, adding a second DRAM hit to every access —
+// measured superlinear: 16.8M-edge plans colored in 41 s but 67M-edge
+// ones took 585 s before this.  Best-effort: EINVAL/old kernels are
+// ignored.
+// PYGB_BENES_PROF=1: accumulate per-phase walls, printed by
+// benes_stages (stderr)
+#include <chrono>
+static double bt_build = 0, bt_walk = 0, bt_resolve = 0, bt_part = 0,
+              bt_outer = 0, bt_init = 0, bt_leaf = 0;
+static bool bt_on = false;
+struct BTimer {
+  std::chrono::steady_clock::time_point t0;
+  double* acc;
+  BTimer(double* a) : acc(a) { if (bt_on) t0 = std::chrono::steady_clock::now(); }
+  void stop() {
+    if (bt_on && acc) {
+      *acc += std::chrono::duration<double>(
+          std::chrono::steady_clock::now() - t0).count();
+      acc = nullptr;
+    }
+  }
+  ~BTimer() { stop(); }
+};
+
+static void collapse_huge(void* p, size_t len) {
+  if (len < (4u << 20)) return;
+  uintptr_t a = ((uintptr_t)p + ((1u << 21) - 1)) & ~(uintptr_t)((1u << 21) - 1);
+  uintptr_t end = ((uintptr_t)p + len) & ~(uintptr_t)((1u << 21) - 1);
+  if (end <= a) return;
+  madvise((void*)a, end - a, MADV_HUGEPAGE);
+  madvise((void*)a, end - a, MADV_COLLAPSE);
+}
+
 namespace {
 
 struct Triples {
@@ -298,6 +340,7 @@ struct BenesCtx {
 // splits exactly in half between bit 0 and bit 1.
 static void benes_orient(BenesCtx& c, const int32_t* uu, const int32_t* vv,
                          int64_t n) {
+  BTimer tb(&bt_build);
   // degree count into seg (node keys: left u -> 2u, right v -> 2v+1)
   for (int64_t i = 0; i < n; ++i) {
     c.seg[2 * (int64_t)uu[i]]++;
@@ -329,7 +372,9 @@ static void benes_orient(BenesCtx& c, const int32_t* uu, const int32_t* vv,
     c.rec[i] = {uu[i], vv[i], su_, sv_};
   }
 
+  tb.stop();
   if (n < (1 << 16)) {
+    BTimer tw(&bt_walk);
     // cache-resident subproblem: serial walk, no segment machinery
     for (int64_t i = 0; i < n; ++i) {
       if (c.owner[i] >= 0) continue;
@@ -350,6 +395,7 @@ static void benes_orient(BenesCtx& c, const int32_t* uu, const int32_t* vv,
     }
   } else {
     // ---- multi-walker trail walk ----
+    BTimer tw(&bt_walk);
     constexpr int W = 32;
     struct Walker { int64_t e; int side; int32_t seg_id; bool active; };
     std::vector<BenesSeg> segs;
@@ -437,8 +483,10 @@ static void benes_orient(BenesCtx& c, const int32_t* uu, const int32_t* vv,
       }
     }
 
+    tw.stop();
     // ---- phase resolution: parity union-find over segments ----
     //   flip(s) ^ flip(owner(x)) = 1 ^ bit[e] ^ bit[x]
+    BTimer tr(&bt_resolve);
     int32_t k = (int32_t)segs.size();
     std::vector<int32_t> parent(k);
     std::vector<uint8_t> rel(k, 0);  // parity to parent
@@ -487,6 +535,7 @@ static void benes_orient(BenesCtx& c, const int32_t* uu, const int32_t* vv,
   }
 
   // reset touched keys + owners
+  BTimer tb2(&bt_build);
   for (int64_t i = 0; i < n; ++i) {
     c.seg[2 * (int64_t)uu[i]] = 0;
     c.seg[2 * (int64_t)vv[i] + 1] = 0;
@@ -498,6 +547,7 @@ static void benes_orient(BenesCtx& c, const int32_t* uu, const int32_t* vv,
 static int64_t benes_split(BenesCtx& c, int32_t* uu, int32_t* vv,
                            int32_t* eid, int64_t n) {
   benes_orient(c, uu, vv, n);
+  BTimer tp(&bt_part);
   int64_t j0 = 0, j1 = 0;
   for (int64_t i = 0; i < n; ++i) {
     if (c.bit[i] == 0) {
@@ -514,6 +564,7 @@ static int64_t benes_split(BenesCtx& c, int32_t* uu, int32_t* vv,
 
 static void benes_init_ctx(BenesCtx& c, int64_t nkeys, int64_t m,
                            uint8_t* color) {
+  BTimer ti(&bt_init);
   c.seg.assign(nkeys, 0);
   c.fill.assign(nkeys, 0);
   c.adj.resize(2 * m);
@@ -524,6 +575,11 @@ static void benes_init_ctx(BenesCtx& c, int64_t nkeys, int64_t m,
   c.sv.resize(m);
   c.sid.resize(m);
   c.color = color;
+  // the walk's random-access arrays: huge-page them (see collapse_huge)
+  collapse_huge(c.adj.data(), c.adj.size() * sizeof(int32_t));
+  collapse_huge(c.rec.data(), c.rec.size() * sizeof(BenesRec));
+  collapse_huge(c.owner.data(), c.owner.size() * sizeof(int32_t));
+  collapse_huge(c.bit.data(), c.bit.size());
 }
 
 // colors assigned by bit path (level-0 split = MSB), matching the
@@ -531,6 +587,7 @@ static void benes_init_ctx(BenesCtx& c, int64_t nkeys, int64_t m,
 static void benes_rec(BenesCtx& c, int32_t* uu, int32_t* vv, int32_t* eid,
                       int64_t n, int bits, int32_t base) {
   if (bits == 0) {
+    BTimer tl(&bt_leaf);
     uint8_t col = (uint8_t)base;
     for (int64_t i = 0; i < n; ++i) c.color[eid[i]] = col;
     return;
@@ -543,10 +600,19 @@ static void benes_rec(BenesCtx& c, int32_t* uu, int32_t* vv, int32_t* eid,
 
 // parallel top levels: after a split the halves are independent
 // subproblems; each thread gets its own context (no shared state)
+// reuse: an already-initialized context for repeated same-size calls
+// (benes_stages runs one call per level; re-allocating + re-huge-paging
+// the multi-GB context per level cost ~50s/level at 67M edges)
 static void benes_par(int32_t* uu, int32_t* vv, int32_t* eid, int64_t n,
                       int bits, int32_t base, int64_t nkeys,
-                      uint8_t* color, int depth) {
+                      uint8_t* color, int depth,
+                      BenesCtx* reuse = nullptr) {
   if (depth <= 0 || bits == 0 || n < (1 << 20)) {
+    if (reuse != nullptr) {
+      reuse->color = color;
+      benes_rec(*reuse, uu, vv, eid, n, bits, base);
+      return;
+    }
     BenesCtx c;
     benes_init_ctx(c, nkeys, n, color);
     benes_rec(c, uu, vv, eid, n, bits, base);
@@ -559,9 +625,9 @@ static void benes_par(int32_t* uu, int32_t* vv, int32_t* eid, int64_t n,
     n0 = benes_split(c, uu, vv, eid, n);
   }  // free the parent context before spawning children
   std::thread t(benes_par, uu, vv, eid, n0, bits - 1, base, nkeys, color,
-                depth - 1);
+                depth - 1, nullptr);
   benes_par(uu + n0, vv + n0, eid + n0, n - n0, bits - 1,
-            base + (1 << (bits - 1)), nkeys, color, depth - 1);
+            base + (1 << (bits - 1)), nkeys, color, depth - 1, nullptr);
   t.join();
 }
 
@@ -642,17 +708,33 @@ PyObject* py_benes_stages(PyObject*, PyObject* args) {
     for (int64_t i = 0; i < Np; ++i) v[i] = i;
     std::vector<uint8_t> color(Np);
     std::vector<int32_t> uu(Np), vv(Np), eid(Np);
+    // the color scatter (c.color[eid[i]]) and the stage-table writes
+    // below are random over Np-sized buffers: huge-page them
+    collapse_huge(color.data(), Np);
+    memset(buf, 0, 2 * D * Np + ssel_sz);  // populate before collapse
+    collapse_huge(buf, 2 * D * Np + ssel_sz);
     unsigned hc = std::thread::hardware_concurrency();
     int depth = hc >= 8 ? 3 : hc >= 4 ? 2 : hc >= 2 ? 1 : 0;
+    BenesCtx shared_ctx;
+    BenesCtx* reuse = nullptr;
+    if (depth == 0) {
+      benes_init_ctx(shared_ctx, 2 * (int64_t)R0 + 2, Np, nullptr);
+      reuse = &shared_ctx;
+    }
+    bt_on = getenv("PYGB_BENES_PROF") != nullptr;
+    bt_build = bt_walk = bt_resolve = bt_part = bt_outer = 0;
     int64_t rows = R0;
     for (int lvl = 0; lvl < D; ++lvl) {
+      BTimer to(&bt_outer);
       for (int64_t i = 0; i < Np; ++i) {
         uu[i] = (int32_t)(g[i] * rows + (u[i] >> 7));
         vv[i] = (int32_t)(g[i] * rows + (v[i] >> 7));
         eid[i] = (int32_t)i;
       }
+      to.stop();
       benes_par(uu.data(), vv.data(), eid.data(), Np, 7, 0,
-                2 * (int64_t)R0 + 2, color.data(), depth);
+                2 * (int64_t)R0 + 2, color.data(), depth, reuse);
+      BTimer to2(&bt_outer);
       int8_t* a = buf + (int64_t)lvl * Np;
       int8_t* c = buf + (int64_t)(D + lvl) * Np;
       for (int64_t r = 0; r < R0; ++r)
@@ -670,6 +752,12 @@ PyObject* py_benes_stages(PyObject*, PyObject* args) {
         v[i] >>= 7;
       }
       rows /= 128;
+      if (bt_on)
+        fprintf(stderr,
+                "[benes prof] lvl %d cum: build %.1f walk %.1f resolve "
+                "%.1f part %.1f outer %.1f init %.1f leaf %.1f\n",
+                lvl, bt_build, bt_walk, bt_resolve, bt_part, bt_outer,
+                bt_init, bt_leaf);
     }
     if (S > 1) {
       int8_t* ss = buf + 2 * (int64_t)D * Np;
