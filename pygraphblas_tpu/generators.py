@@ -35,13 +35,21 @@ def rmat_edges(scale, edgefactor=16, a=0.57, b=0.19, c=0.19, seed=42,
     rows = perm[rows]
     cols = perm[cols]
     if dedup:
-        keep = rows != cols
-        rows, cols = rows[keep], cols[keep]
-        keys = rows * n + cols if n < (1 << 31) else None
-        if keys is not None:
-            _, idx = np.unique(keys, return_index=True)
-            rows, cols = rows[idx], cols[idx]
+        rows, cols = _dedup(rows, cols, scale)
     return rows, cols, n
+
+
+def _dedup(rows, cols, scale):
+    """Drop self-loops + duplicate edges.  Values are generated per-edge
+    downstream, so order and which duplicate survives are irrelevant:
+    unique on packed keys (plain sort) beats return_index (stable
+    argsort — 4x slower at 67M edges)."""
+    keep = rows != cols
+    if scale > 31:          # packed keys would overflow int64
+        return rows[keep], cols[keep]
+    keys = (rows[keep] << scale) | cols[keep]
+    keys = np.unique(keys)
+    return keys >> scale, keys & ((np.int64(1) << scale) - 1)
 
 
 def urand_edges(scale, edgefactor=16, seed=42, dedup=True):
@@ -52,11 +60,7 @@ def urand_edges(scale, edgefactor=16, seed=42, dedup=True):
     rows = rng.randint(0, n, m)
     cols = rng.randint(0, n, m)
     if dedup:
-        keep = rows != cols
-        rows, cols = rows[keep], cols[keep]
-        keys = rows * n + cols
-        _, idx = np.unique(keys, return_index=True)
-        rows, cols = rows[idx], cols[idx]
+        rows, cols = _dedup(rows, cols, scale)
     return rows, cols, n
 
 
