@@ -112,18 +112,45 @@ def main():
         float(jnp.sum(r._vals))  # hard sync through the host
         return time.perf_counter() - start
 
+    def _integrity_check():
+        """Cross-check 5 fused-engine iterations against the planless
+        COO loop (plain gather + segment-sum — no custom kernels).  A
+        kernel that compiles wrong on this backend must degrade the
+        number, never corrupt it."""
+        import jax.numpy as _jnp
+        from pygraphblas_tpu.fused import _pagerank_loop_coo, _deg_vec
+
+        r5 = fused.pagerank(A, itermax=5, tol=0.0)
+        rows_d, cols_d, _ = A._device_coo()
+        deg = _deg_vec(A)
+        d_inv = _jnp.where(deg > 0, 0.85 / _jnp.maximum(deg, 1.0), 0.0)
+        ref, _, _ = _pagerank_loop_coo(
+            rows_d, cols_d, n, 5, d_inv.astype(_jnp.float32),
+            _jnp.float32(0.15 / n), _jnp.float32(0.0))
+        err = float(_jnp.max(_jnp.abs(r5._vals - ref)))
+        scale_ = float(_jnp.max(_jnp.abs(ref)))
+        _note(f"integrity check: max |fused - coo| = {err:.2e} "
+              f"(max rank {scale_:.2e})")
+        # fp32 reduction-order noise across engines is ~1e-5 relative;
+        # kernel corruption is O(1) relative
+        if not err < 1e-3 * scale_:
+            raise AssertionError(f"fused pagerank diverges from the "
+                                 f"planless oracle by {err}")
+
     _note("warmup (plan build/load + compile + transfer)...")
     t0 = time.perf_counter()
     done = _watchdog(max(_remaining() - 90, 120), "pagerank warmup")
     try:
         timed()  # compile + transfer warmup
+        _integrity_check()
     except Exception as e:
-        # a kernel regression must degrade the number, never lose it:
-        # retry the warmup on the fallback engine
+        # a kernel regression must degrade the number, never lose or
+        # corrupt it: retry the warmup on the fallback engine
         _note(f"xspmv warmup FAILED ({e!r}); falling back to csr8")
         from pygraphblas_tpu import options_set
         options_set(spmv_engine="csr8")
         timed()
+        _integrity_check()
     done.set()
     _note(f"warmup done in {time.perf_counter() - t0:.1f}s; timing...")
     done = _watchdog(max(min(_remaining() - 30, 450), 90),
