@@ -772,6 +772,123 @@ PyObject* py_benes_stages(PyObject*, PyObject* args) {
   return out;
 }
 
+// ---------------------------------------------------------------------------
+// Sorted-merge primitives for the sparse (COO) semantics tier
+// (pygraphblas_tpu/core/coosem.py).  All keys are int64, sorted, unique
+// unless noted.  Single linear passes replace numpy's
+// intersect1d(concat+argsort) + post-merge argsort pipeline — the
+// reference executes the same union/mask merges inside SuiteSparse's
+// parallel C (reference matrix.py:2572-2583); this is the native tier's
+// equivalent on the host side of the COO ("huge") containers.
+// ---------------------------------------------------------------------------
+
+// merge_union(ka_bytes, kb_bytes) -> (ia_bytes, ib_bytes)
+// For each key of the sorted union, the index into a (or -1) and the
+// index into b (or -1).  Output arrays are int64, length = |union|.
+PyObject* py_merge_union(PyObject*, PyObject* args) {
+  Py_buffer ab, bb;
+  if (!PyArg_ParseTuple(args, "y*y*", &ab, &bb)) return nullptr;
+  const int64_t* a = (const int64_t*)ab.buf;
+  const int64_t* b = (const int64_t*)bb.buf;
+  const int64_t na = ab.len / 8, nb = bb.len / 8;
+  PyObject* iab = PyBytes_FromStringAndSize(nullptr, (na + nb) * 8);
+  PyObject* ibb = PyBytes_FromStringAndSize(nullptr, (na + nb) * 8);
+  if (!iab || !ibb) {
+    Py_XDECREF(iab);
+    Py_XDECREF(ibb);
+    PyBuffer_Release(&ab);
+    PyBuffer_Release(&bb);
+    return nullptr;
+  }
+  int64_t* ia = (int64_t*)PyBytes_AS_STRING(iab);
+  int64_t* ib = (int64_t*)PyBytes_AS_STRING(ibb);
+  int64_t m = 0;
+  Py_BEGIN_ALLOW_THREADS
+  int64_t i = 0, j = 0;
+  while (i < na && j < nb) {
+    const int64_t av = a[i], bv = b[j];
+    ia[m] = av <= bv ? i : -1;
+    ib[m] = bv <= av ? j : -1;
+    i += av <= bv;
+    j += bv <= av;
+    ++m;
+  }
+  for (; i < na; ++i, ++m) { ia[m] = i; ib[m] = -1; }
+  for (; j < nb; ++j, ++m) { ia[m] = -1; ib[m] = j; }
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&ab);
+  PyBuffer_Release(&bb);
+  if (_PyBytes_Resize(&iab, m * 8) < 0 || _PyBytes_Resize(&ibb, m * 8) < 0) {
+    Py_XDECREF(iab);
+    Py_XDECREF(ibb);
+    return nullptr;
+  }
+  PyObject* res = PyTuple_Pack(2, iab, ibb);
+  Py_DECREF(iab);
+  Py_DECREF(ibb);
+  return res;
+}
+
+// merge_flags(k1_bytes, k2_bytes) -> flags_bytes (uint8)
+// Merge order of two DISJOINT sorted key arrays: flags[i] is 1 when
+// output slot i takes the next element of k1, else 0.  Length n1+n2.
+PyObject* py_merge_flags(PyObject*, PyObject* args) {
+  Py_buffer b1, b2;
+  if (!PyArg_ParseTuple(args, "y*y*", &b1, &b2)) return nullptr;
+  const int64_t* k1 = (const int64_t*)b1.buf;
+  const int64_t* k2 = (const int64_t*)b2.buf;
+  const int64_t n1 = b1.len / 8, n2 = b2.len / 8;
+  PyObject* fb = PyBytes_FromStringAndSize(nullptr, n1 + n2);
+  if (!fb) {
+    PyBuffer_Release(&b1);
+    PyBuffer_Release(&b2);
+    return nullptr;
+  }
+  uint8_t* f = (uint8_t*)PyBytes_AS_STRING(fb);
+  Py_BEGIN_ALLOW_THREADS
+  int64_t i = 0, j = 0, m = 0;
+  while (i < n1 && j < n2) {
+    const bool first = k1[i] < k2[j];
+    f[m++] = first;
+    i += first;
+    j += !first;
+  }
+  if (i < n1) memset(f + m, 1, n1 - i);
+  else if (j < n2) memset(f + m, 0, n2 - j);
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&b1);
+  PyBuffer_Release(&b2);
+  return fb;
+}
+
+// member_sorted(q_bytes, s_bytes) -> hits_bytes (uint8)
+// For SORTED (duplicates allowed) queries q against sorted unique set s:
+// hits[i] = 1 iff q[i] is in s.  Dual-pointer, O(|q| + |s|).
+PyObject* py_member_sorted(PyObject*, PyObject* args) {
+  Py_buffer qb, sb;
+  if (!PyArg_ParseTuple(args, "y*y*", &qb, &sb)) return nullptr;
+  const int64_t* q = (const int64_t*)qb.buf;
+  const int64_t* s = (const int64_t*)sb.buf;
+  const int64_t nq = qb.len / 8, ns = sb.len / 8;
+  PyObject* hb = PyBytes_FromStringAndSize(nullptr, nq);
+  if (!hb) {
+    PyBuffer_Release(&qb);
+    PyBuffer_Release(&sb);
+    return nullptr;
+  }
+  uint8_t* h = (uint8_t*)PyBytes_AS_STRING(hb);
+  Py_BEGIN_ALLOW_THREADS
+  int64_t j = 0;
+  for (int64_t i = 0; i < nq; ++i) {
+    while (j < ns && s[j] < q[i]) ++j;
+    h[i] = j < ns && s[j] == q[i];
+  }
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&qb);
+  PyBuffer_Release(&sb);
+  return hb;
+}
+
 PyMethodDef methods[] = {
     {"parse_mm", py_parse_mm, METH_VARARGS,
      "Parse a MatrixMarket file into canonical COO triples."},
@@ -781,6 +898,12 @@ PyMethodDef methods[] = {
      "Edge-color a 2^bits-regular bipartite multigraph with 2^bits colors."},
     {"benes_stages", py_benes_stages, METH_VARARGS,
      "Full Benes routing-plan assembly (colorings + stage tables)."},
+    {"merge_union", py_merge_union, METH_VARARGS,
+     "Single-pass union of two sorted unique int64 key arrays."},
+    {"merge_flags", py_merge_flags, METH_VARARGS,
+     "Merge order flags of two disjoint sorted int64 key arrays."},
+    {"member_sorted", py_member_sorted, METH_VARARGS,
+     "Membership of sorted queries in a sorted unique int64 set."},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -8,6 +8,8 @@ behavior (format switching thresholds, debug "burble" logging, default
 storage orientation) for the JAX/XLA execution engine.
 """
 
+import ctypes
+import os
 import sys
 import time
 from dataclasses import dataclass, field
@@ -47,6 +49,34 @@ GxB_INDEX_MAX = 2**60
 # Implementation/spec version tuples for API parity.
 GxB_IMPLEMENTATION = (1, 0, 0)
 GxB_SPEC = (2, 0, 0)
+
+
+def _tune_host_allocator():
+    """Keep freed large blocks on the glibc heap (no mmap, no trim).
+
+    On hypervisor-backed VMs, first-touch page faults can run two orders
+    of magnitude slower than DRAM (measured ~10-20 MB/s vs 2.5 GB/s on
+    the reference build host), and glibc munmaps every large free — so
+    each big numpy temporary re-faults all of its pages.  Reusing heap
+    pages makes temp-heavy host phases (SpMV plan builds, sorted-COO
+    merges, graph generators) run at DRAM speed after warmup.  The cost
+    is RSS staying at its high-water mark, which is the right trade for
+    a compute host.  ``PYGB_MALLOC_TUNE=0`` disables.
+    """
+    if os.environ.get("PYGB_MALLOC_TUNE", "1") != "1":
+        return
+    if not sys.platform.startswith("linux"):
+        return
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_MAX = -1, -4
+        libc.mallopt(M_MMAP_MAX, 0)
+        libc.mallopt(M_TRIM_THRESHOLD, 2**31 - 1)
+    except Exception:  # pragma: no cover - musl/odd libc: feature is best-effort
+        pass
+
+
+_tune_host_allocator()
 
 
 # --------------------------------------------------------------------------

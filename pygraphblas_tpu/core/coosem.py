@@ -18,6 +18,11 @@ sorted by (row, col) with no duplicates ("canonical").
 
 import numpy as np
 
+try:  # native single-pass merges (native/fastio.cpp); numpy fallbacks below
+    from .. import _fastio
+except ImportError:  # pragma: no cover
+    _fastio = None
+
 _PAIR_DTYPE = np.dtype([("r", np.int64), ("c", np.int64)])
 
 
@@ -57,15 +62,59 @@ def pair_keys(ra, ca, rb, cb):
     return pairs(ra, ca), pairs(rb, cb)
 
 
-def in_sorted(r, c, sr, sc):
+def in_sorted(r, c, sr, sc, sorted_queries=False):
     """Boolean membership of (r, c) pairs in the canonical pair set
-    (sr, sc)."""
+    (sr, sc).  With ``sorted_queries=True`` (the queries themselves are
+    in canonical order, duplicates allowed) a native dual-pointer pass
+    replaces the binary searches."""
     if len(sr) == 0 or len(r) == 0:
         return np.zeros(len(r), bool)
     k, sk = pair_keys(r, c, sr, sc)
+    if sorted_queries and _fastio is not None and k.dtype == np.int64:
+        return np.frombuffer(
+            _fastio.member_sorted(k.tobytes(), sk.tobytes()), np.bool_)
     pos = np.searchsorted(sk, k)
     pos_c = np.minimum(pos, len(sk) - 1)
     return (pos < len(sk)) & (sk[pos_c] == k)
+
+
+def _merge_union_idx(ka, kb):
+    """Index arrays (ia, ib) over the sorted union of two sorted unique
+    key arrays: for union slot i, ia[i] is the position in ka (or -1)
+    and ib[i] the position in kb (or -1).  One native linear pass; the
+    numpy fallback (also the structured-pairs path) is binary-search
+    based with no concat-and-argsort."""
+    if _fastio is not None and ka.dtype == np.int64:
+        ia, ib = _fastio.merge_union(ka.tobytes(), kb.tobytes())
+        return np.frombuffer(ia, np.int64), np.frombuffer(ib, np.int64)
+    na, nb = len(ka), len(kb)
+    pos = np.searchsorted(ka, kb)
+    if na:
+        hit = (pos < na) & (ka[np.minimum(pos, na - 1)] == kb)
+    else:
+        hit = np.zeros(nb, bool)
+    bk = kb[~hit]
+    n_out = na + len(bk)
+    ia = np.full(n_out, -1, np.int64)
+    ib = np.full(n_out, -1, np.int64)
+    pa = np.arange(na) + np.searchsorted(bk, ka)
+    ia[pa] = np.arange(na)
+    pb = np.arange(len(bk)) + np.searchsorted(ka, bk)
+    ib[pb] = np.nonzero(~hit)[0]
+    ib[pa[pos[hit]]] = np.nonzero(hit)[0]
+    return ia, ib
+
+
+def _merge_take_first(k1, k2):
+    """Merge-order flags of two DISJOINT sorted key arrays: a boolean
+    array over the merged length, True where the slot takes the next
+    element of k1 (relative order within each input is preserved)."""
+    if _fastio is not None and k1.dtype == np.int64:
+        return np.frombuffer(
+            _fastio.merge_flags(k1.tobytes(), k2.tobytes()), np.bool_)
+    t = np.zeros(len(k1) + len(k2), bool)
+    t[np.arange(len(k1)) + np.searchsorted(k2, k1)] = True
+    return t
 
 
 def lex_order(rows, cols):
@@ -95,21 +144,32 @@ def mask_pairs(m_rows, m_cols, m_vals, structural):
 def union_merge(ra, ca, va, rb, cb, vb, both_fn, dtype):
     """Pattern-union merge: both_fn(a, b) on the intersection, a-only and
     b-only entries pass through (cast to dtype).  Inputs canonical;
-    output canonical."""
+    output canonical.  One linear merge pass emits the union already in
+    canonical order — no post-merge sort."""
+    if len(ra) == 0:
+        return (np.asarray(rb, np.int64).copy(),
+                np.asarray(cb, np.int64).copy(), vb.astype(dtype))
+    if len(rb) == 0:
+        return (np.asarray(ra, np.int64).copy(),
+                np.asarray(ca, np.int64).copy(), va.astype(dtype))
     ka, kb = pair_keys(ra, ca, rb, cb)
-    common, ia, ib = np.intersect1d(ka, kb, assume_unique=True,
-                                    return_indices=True)
-    matched = np.asarray(both_fn(va[ia], vb[ib])).astype(dtype)
-    only_a = np.ones(len(ka), bool)
-    only_a[ia] = False
-    only_b = np.ones(len(kb), bool)
-    only_b[ib] = False
-    rows = np.concatenate([ra[ia], ra[only_a], rb[only_b]])
-    cols = np.concatenate([ca[ia], ca[only_a], cb[only_b]])
-    vals = np.concatenate([matched, va[only_a].astype(dtype),
-                           vb[only_b].astype(dtype)])
-    order = lex_order(rows, cols)
-    return rows[order], cols[order], vals[order]
+    ia, ib = _merge_union_idx(ka, kb)
+    a_hit = ia >= 0
+    b_hit = ib >= 0
+    both = a_hit & b_hit
+    iac = np.where(a_hit, ia, 0)
+    ibc = np.where(b_hit, ib, 0)
+    rows = np.where(a_hit, ra[iac], rb[ibc])
+    cols = np.where(a_hit, ca[iac], cb[ibc])
+    vals = np.empty(len(rows), dtype)
+    a_only = a_hit & ~both
+    b_only = b_hit & ~both
+    vals[a_only] = va[ia[a_only]].astype(dtype)
+    vals[b_only] = vb[ib[b_only]].astype(dtype)
+    if both.any():
+        vals[both] = np.asarray(
+            both_fn(va[ia[both]], vb[ib[both]])).astype(dtype)
+    return rows, cols, vals
 
 
 def writeback(cr, cc, cv, tr, tc, tv, mpr, mpc, accum_fn, complement,
@@ -141,23 +201,33 @@ def writeback(cr, cc, cv, tr, tc, tv, mpr, mpc, accum_fn, complement,
             return e, e.copy(), np.empty(0, dtype)
         return cr, cc, cv.astype(dtype)
 
-    z_in = in_sorted(zr, zc, mpr, mpc)
+    z_in = in_sorted(zr, zc, mpr, mpc, sorted_queries=True)
     if complement:
         z_in = ~z_in
     keep_z = (zr[z_in], zc[z_in], zv[z_in])
     if replace:
-        out_r, out_c, out_v = keep_z
-    else:
-        c_in = in_sorted(cr, cc, mpr, mpc)
-        if complement:
-            c_in = ~c_in
-        # outside the mask region C survives; inside, Z's pattern rules
-        keep_c = (cr[~c_in], cc[~c_in], cv[~c_in].astype(dtype))
-        out_r = np.concatenate([keep_z[0], keep_c[0]])
-        out_c = np.concatenate([keep_z[1], keep_c[1]])
-        out_v = np.concatenate([keep_z[2], keep_c[2]])
-    order = lex_order(out_r, out_c)
-    return out_r[order], out_c[order], out_v[order]
+        return keep_z
+    c_in = in_sorted(cr, cc, mpr, mpc, sorted_queries=True)
+    if complement:
+        c_in = ~c_in
+    # outside the mask region C survives; inside, Z's pattern rules.
+    # Both survivor sets are canonical and disjoint (in vs out of the
+    # effective mask region), so a linear merge replaces the sort.
+    keep_c = (cr[~c_in], cc[~c_in], cv[~c_in].astype(dtype))
+    kz, kc = pair_keys(keep_z[0], keep_z[1], keep_c[0], keep_c[1])
+    take_z = _merge_take_first(kz, kc)
+    n_out = len(kz) + len(kc)
+    out_r = np.empty(n_out, np.int64)
+    out_c = np.empty(n_out, np.int64)
+    out_v = np.empty(n_out, dtype)
+    take_c = ~take_z
+    out_r[take_z] = keep_z[0]
+    out_r[take_c] = keep_c[0]
+    out_c[take_z] = keep_z[1]
+    out_c[take_c] = keep_c[1]
+    out_v[take_z] = keep_z[2]
+    out_v[take_c] = keep_c[2]
+    return out_r, out_c, out_v
 
 
 # ---------------------------------------------------------------------------
@@ -181,6 +251,12 @@ class ArithSelector:
         self.start = int(start)
         self.step = int(step)
         self.size = int(size)
+
+    @property
+    def monotone(self):
+        """True when select()/inverse() preserve index order — lets the
+        extract/assign paths skip their output sort."""
+        return self.step > 0
 
     def select(self, values):
         """(entry_indices, positions): which of `values` are selected and
@@ -208,6 +284,10 @@ class ListSelector:
         self.size = len(self.arr)
         self._order = np.argsort(self.arr, kind="stable")
         self._sorted = self.arr[self._order]
+
+    @property
+    def monotone(self):
+        return bool(np.all(np.diff(self.arr) > 0))
 
     def select(self, values):
         return _positions(self._sorted, self._order, values)
@@ -262,6 +342,9 @@ def extract(rows, cols, vals, sel_r, sel_c):
     out_r = r2[ent_c]
     out_c = pos_c
     out_v = v_src[ent_c]
+    if sel_r.monotone and sel_c.monotone:
+        # order-preserving index maps keep the canonical input order
+        return out_r, out_c, out_v
     order = lex_order(out_r, out_c)
     return out_r[order], out_c[order], out_v[order]
 
@@ -293,19 +376,23 @@ def assign_region(cr, cc, cv, tr, tc, tv, sel_r, sel_c, mpr, mpc,
     is modified (the mask is applied restricted to the region, matching
     the dense path's `_region_mask`).  Selectors must be duplicate-free.
     """
+    monotone = sel_r.monotone and sel_c.monotone
     inside, rpos, cpos = _region_map(sel_r, sel_c, cr, cc)
     reg_cr = rpos[inside]
     reg_cc = cpos[inside]
     reg_cv = cv[inside]
-    order = lex_order(reg_cr, reg_cc)
-    reg_cr, reg_cc, reg_cv = reg_cr[order], reg_cc[order], reg_cv[order]
+    if not monotone:
+        order = lex_order(reg_cr, reg_cc)
+        reg_cr, reg_cc, reg_cv = reg_cr[order], reg_cc[order], reg_cv[order]
 
     # mask restricted to the region, in region coordinates
     if mpr is not None:
         m_in, m_rpos, m_cpos = _region_map(sel_r, sel_c, mpr, mpc)
         rm, cm = m_rpos[m_in], m_cpos[m_in]
-        m_order = lex_order(rm, cm)
-        rmpr, rmpc = rm[m_order], cm[m_order]
+        if not monotone:
+            m_order = lex_order(rm, cm)
+            rm, cm = rm[m_order], cm[m_order]
+        rmpr, rmpc = rm, cm
     else:
         rmpr = rmpc = None
 
@@ -313,8 +400,27 @@ def assign_region(cr, cc, cv, tr, tc, tv, sel_r, sel_c, mpr, mpc,
                            rmpr, rmpc, accum_fn, complement, replace, dtype)
 
     # map the region result back to C coordinates, keep C outside
-    out_r = np.concatenate([cr[~inside], sel_r.inverse(nr)])
-    out_c = np.concatenate([cc[~inside], sel_c.inverse(nc)])
+    keep_r, keep_c_ = cr[~inside], cc[~inside]
+    inv_r, inv_c = sel_r.inverse(nr), sel_c.inverse(nc)
+    if monotone:
+        # both sets canonical (order-preserving inverse) and disjoint
+        # (outside vs inside the region): linear merge, no sort
+        kk, ki = pair_keys(keep_r, keep_c_, inv_r, inv_c)
+        take_k = _merge_take_first(kk, ki)
+        n_out = len(kk) + len(ki)
+        out_r = np.empty(n_out, np.int64)
+        out_c = np.empty(n_out, np.int64)
+        out_v = np.empty(n_out, dtype)
+        take_i = ~take_k
+        out_r[take_k] = keep_r
+        out_r[take_i] = inv_r
+        out_c[take_k] = keep_c_
+        out_c[take_i] = inv_c
+        out_v[take_k] = cv[~inside].astype(dtype)
+        out_v[take_i] = nv
+        return out_r, out_c, out_v
+    out_r = np.concatenate([keep_r, inv_r])
+    out_c = np.concatenate([keep_c_, inv_c])
     out_v = np.concatenate([cv[~inside].astype(dtype), nv])
     order = lex_order(out_r, out_c)
     return out_r[order], out_c[order], out_v[order]

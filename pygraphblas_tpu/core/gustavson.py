@@ -223,7 +223,8 @@ def spgemm(ra, ca, va, rb, cb, vb, semiring, out_dtype):
             vals = np.zeros(len(pr), out_dtype)
             if Q.nnz:
                 hit = cs.in_sorted(pr, pc, Q.row.astype(np.int64),
-                                   Q.col.astype(np.int64))
+                                   Q.col.astype(np.int64),
+                                   sorted_queries=True)
                 vals[hit] = Q.data.astype(out_dtype)
         burble("unmasked spgemm (scipy %s_%s): %d x %d -> %d nnz",
                add.op, mul.op, len(ra), len(rb), len(pr))
