@@ -78,6 +78,7 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "50"))
 
     _enable_compile_cache()
+    import jax
     import jax.numpy as jnp
 
     # first-transfer canary: a wedged tunnel blocks here, not 10 min in
@@ -85,6 +86,13 @@ def main():
     canary = float(jnp.arange(8.0).sum())
     done.set()
     _note(f"device canary ok ({canary})")
+
+    if jax.default_backend() == "cpu":
+        # tunnel-outage fallback (or harness testing): a recorded CPU
+        # number beats an empty benchmark artifact.  Time the planless
+        # COO engine — the library's instant-start tier — and say so in
+        # the metric name.
+        return _main_cpu_fallback(scale, edgefactor, iters)
 
     from pygraphblas_tpu import types, fused
     from pygraphblas_tpu.generators import rmat_edges, to_matrix
@@ -175,6 +183,53 @@ def main():
         with open(path, "w") as f:
             json.dump(extras, f, indent=1)
         _note("extras: " + json.dumps(extras))
+
+
+def _main_cpu_fallback(scale, edgefactor, iters):
+    """Headline number on the CPU backend via the planless fused COO
+    PageRank loop (fused._pagerank_loop_coo — the same library tier the
+    async first-touch path runs).  Used when the TPU tunnel is down for
+    the whole driver window: the metric name carries a `_cpuhost`
+    suffix so a host number is never mistaken for a device one."""
+    import jax.numpy as jnp
+
+    from pygraphblas_tpu import types, fused
+    from pygraphblas_tpu.generators import rmat_edges, to_matrix
+
+    cache = f"/tmp/pygb_bench_kron_s{scale}_ef{edgefactor}.npz"
+    if os.path.exists(cache):
+        data = np.load(cache)
+        rows, cols, n = data["rows"], data["cols"], int(data["n"])
+    else:
+        rows, cols, n = rmat_edges(scale, edgefactor)
+        np.savez(cache, rows=rows, cols=cols, n=n)
+    nnz = len(rows)
+    A = to_matrix(rows, cols, n, types.FP32)
+    _note(f"CPU fallback: graph ready n={n} nnz={nnz}")
+
+    rows_d, cols_d, _ = A._device_coo()
+    deg = fused._deg_vec(A)
+    d_inv = jnp.where(deg > 0, 0.85 / jnp.maximum(deg, 1.0), 0.0)
+
+    def timed():
+        start = time.perf_counter()
+        r, _, _ = fused._pagerank_loop_coo(
+            rows_d, cols_d, n, iters, d_inv.astype(jnp.float32),
+            jnp.float32(0.15 / n), jnp.float32(0.0))
+        float(jnp.sum(r))
+        return time.perf_counter() - start
+
+    done = _watchdog(max(_remaining() - 60, 120), "cpu pagerank")
+    timed()  # compile warmup
+    elapsed = min(timed() for _ in range(2))
+    done.set()
+    _note(f"cpu pagerank timed: {elapsed:.3f}s")
+    print(json.dumps({
+        "metric": f"pagerank_spmv_kron_s{scale}_ef{edgefactor}_cpuhost",
+        "value": nnz * iters / elapsed,
+        "unit": "nnz/s",
+        "vs_baseline": 1.0,
+    }), flush=True)
 
 
 def bench_extras():
@@ -319,6 +374,13 @@ def supervised():
             else min(remaining, max(remaining * 0.55, 300))
         env = dict(os.environ, BENCH_INNER="1",
                    BENCH_TOTAL_DEADLINE=str(max(att_budget - 15, 60)))
+        if attempt == attempts - 1 and os.environ.get(
+                "BENCH_FORCE_CPU") != "1":
+            # two device attempts died (wedged/offline tunnel): the last
+            # attempt must land SOME number — force the CPU backend
+            print("# final attempt: forcing CPU backend (device attempts "
+                  "produced no headline)", file=sys.stderr, flush=True)
+            env["BENCH_FORCE_CPU"] = "1"
         proc = subprocess.Popen(
             [sys.executable, "-u", os.path.abspath(__file__)],
             env=env, stdout=subprocess.PIPE, stderr=None, text=True,

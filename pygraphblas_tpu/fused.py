@@ -109,6 +109,8 @@ def _pagerank_loop_coo(rows, cols, n, itermax, d_inv_damped, teleport,
 
 def _deg_vec(A):
     n = A.nrows
+    if A._ell_c is None:
+        A._ell_c = {}
     if "deg" not in A._ell_c:
         r_host, _, _ = A._coo()
         deg_h = np.zeros(n, np.float32)
