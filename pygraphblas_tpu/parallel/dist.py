@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 
+from ..base import DimensionMismatch
+
 _MULS = {
     "TIMES": lambda a, x: a * x,
     "PLUS": lambda a, x: a + x,
@@ -551,9 +553,13 @@ class DistMatrix:
         self._spmv_cache = {}
 
     def _executor(self, semiring, dtype, transpose):
+        add, mul = resolve_ops(semiring)
+        return self._ops_executor(add, mul, dtype, transpose)
+
+    def _ops_executor(self, add, mul, dtype, transpose):
         import math
 
-        key = (semiring.name, np.dtype(dtype).str, transpose)
+        key = (add, mul, np.dtype(dtype).str, transpose)
         if key not in self._spmv_cache:
             r, c = ((self._cols, self._rows) if transpose
                     else (self._rows, self._cols))
@@ -567,7 +573,7 @@ class DistMatrix:
                 nr = nc = _cdiv(nr, ll) * ll
             self._spmv_cache[key] = DistSpMV(
                 self.mesh, nr, nc, r, c, self._vals.astype(dtype),
-                dtype=dtype, semiring=semiring)
+                dtype=dtype, add=add, mul=mul)
         return self._spmv_cache[key]
 
     def mxv(self, x, semiring=None, transpose=False, mask=None,
@@ -675,3 +681,100 @@ class DistMatrix:
         """Distributed triangle count (undirected pattern)."""
         return int(dist_triangle_count(self.mesh, self.nrows,
                                        self._rows, self._cols))
+
+    def bfs_level(self, source, max_levels=None):
+        """Distributed level-synchronous BFS from ``source``.
+
+        Each level is ONE compiled step on the mesh: a LOR_SECOND SpMV
+        over the out-edges (the frontier halo exchange is the all-gather
+        the partitioner inserts), with the level / frontier update fused
+        behind it — level and frontier stay device-resident across the
+        loop and only the scalar "vertices newly reached" count syncs to
+        the host per level (the loop-exit test, exactly like the
+        reference's BFS host loop, SURVEY §3.3).
+
+        Returns an INT32 host Vector of 1-based levels whose pattern is
+        the reached set, ``v[source] == 1`` — the same contract as
+        ``algorithms.bfs_level``."""
+        from .. import types as t
+        from ..vector import Vector
+
+        if self.nrows != self.ncols:
+            raise DimensionMismatch("bfs_level needs a square matrix")
+        ex = self._ops_executor("LOR", "SECOND", np.int8, transpose=True)
+        src = (int(self._rank[source]) if self._rank is not None
+               else int(source))
+        level0 = np.zeros(ex.nrows_p, np.int32)
+        level0[src] = 1
+        f0 = np.zeros(ex.nrows_p, np.int8)
+        f0[src] = 1
+        level = jax.device_put(level0, ex.y_spec)
+        frontier = jax.device_put(f0, ex.y_spec)
+
+        @jax.jit
+        def step(level, frontier, it):
+            nxt = ex(frontier)                      # bool, P('i')
+            new = jnp.logical_and(nxt, level == 0)
+            level = jnp.where(new, it, level)
+            return (level, new.astype(jnp.int8),
+                    jnp.sum(new.astype(jnp.int32)))
+
+        limit = self.nrows if max_levels is None else max_levels
+        it = 2
+        while it <= limit + 1:
+            level, frontier, nnew = step(level, frontier, jnp.int32(it))
+            if int(nnew) == 0:
+                break
+            it += 1
+        lv = np.asarray(level)
+        lv = (lv[self._rank] if self._rank is not None
+              else lv[:self.nrows])
+        out = Vector.sparse(t.INT32, self.nrows)
+        ids = np.nonzero(lv > 0)[0].astype(np.int64)
+        out._build(ids, lv[lv > 0])
+        return out
+
+    def sssp(self, source, itermax=None):
+        """Distributed single-source shortest paths (Bellman-Ford over
+        the MIN_PLUS semiring).
+
+        Each round relaxes EVERY edge in one compiled mesh step
+        (``d' = min(d, A^T min.+ d)``); the distance vector never
+        leaves the devices — only the scalar changed-count syncs per
+        round for the fixpoint test.  Matches ``algorithms.sssp``:
+        returns a host Vector whose pattern is the reachable set, with
+        ``v[source] == 0``."""
+        from .. import types as t
+        from ..vector import Vector
+
+        if self.nrows != self.ncols:
+            raise DimensionMismatch("sssp needs a square matrix")
+        dtype = (np.float64 if np.dtype(self.type._numpy_t) == np.float64
+                 else np.float32)
+        typ = t.FP64 if dtype == np.float64 else t.FP32
+        ex = self._ops_executor("MIN", "PLUS", dtype, transpose=True)
+        src = (int(self._rank[source]) if self._rank is not None
+               else int(source))
+        d0 = np.full(ex.nrows_p, np.inf, dtype)
+        d0[src] = 0
+        d = jax.device_put(d0, ex.y_spec)
+
+        @jax.jit
+        def step(d):
+            relax = ex(d)
+            d_new = jnp.minimum(d, relax)
+            changed = jnp.sum((d_new != d).astype(jnp.int32))
+            return d_new, changed
+
+        limit = self.nrows - 1 if itermax is None else itermax
+        for _ in range(max(limit, 1)):
+            d, changed = step(d)
+            if int(changed) == 0:
+                break
+        dh = np.asarray(d)
+        dh = (dh[self._rank] if self._rank is not None
+              else dh[:self.nrows])
+        out = Vector.sparse(typ, self.nrows)
+        ids = np.nonzero(np.isfinite(dh))[0].astype(np.int64)
+        out._build(ids, dh[np.isfinite(dh)])
+        return out

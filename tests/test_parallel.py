@@ -272,3 +272,79 @@ def test_dist_triangle_count_matches_networkx():
     got = dist_triangle_count(mesh, 500, np.asarray(rows),
                               np.asarray(cols))
     assert got == sum(nx.triangles(G).values()) // 3
+
+
+def test_dist_bfs_matches_networkx():
+    """DistMatrix.bfs_level: device-resident frontier loop on the mesh
+    matches networkx shortest_path_length hop counts."""
+    import networkx as nx
+    import numpy as np
+    from pygraphblas_tpu import Matrix, types
+    from pygraphblas_tpu.parallel.dist import make_mesh
+
+    G = nx.gnm_random_graph(300, 1200, seed=5)
+    rows, cols = [], []
+    for u, v in G.edges():
+        rows += [u, v]
+        cols += [v, u]
+    A = Matrix.from_lists(rows, cols, [True] * len(rows), 300, 300,
+                          typ=types.BOOL)
+    D = A.shard(make_mesh(8))
+    lv = D.bfs_level(0)
+    want = {k: v + 1 for k, v in
+            nx.single_source_shortest_path_length(G, 0).items()}
+    got = {i: int(v) for i, v in zip(lv.indices, lv.vals)}
+    assert got == want
+
+
+def test_dist_sssp_matches_networkx():
+    """DistMatrix.sssp: Bellman-Ford on the mesh matches networkx
+    dijkstra distances on a weighted digraph."""
+    import networkx as nx
+    import numpy as np
+    from pygraphblas_tpu import Matrix, types
+    from pygraphblas_tpu.parallel.dist import make_mesh
+
+    rng = np.random.RandomState(11)
+    n, m = 200, 1500
+    rows = rng.randint(0, n, m)
+    cols = rng.randint(0, n, m)
+    keep = rows != cols
+    rows, cols = rows[keep], cols[keep]
+    w = rng.uniform(0.1, 5.0, len(rows)).astype(np.float32)
+    # dedup (keep first occurrence) to make the nx comparison exact
+    k = rows.astype(np.int64) * n + cols
+    _, idx = np.unique(k, return_index=True)
+    rows, cols, w = rows[idx], cols[idx], w[idx]
+    A = Matrix.from_lists(list(rows), list(cols), list(w), n, n)
+    D = A.shard(make_mesh(8))
+    d = D.sssp(0)
+    G = nx.DiGraph()
+    G.add_weighted_edges_from(zip(rows.tolist(), cols.tolist(),
+                                  w.tolist()))
+    G.add_node(0)
+    want = nx.single_source_dijkstra_path_length(G, 0)
+    got = {i: float(v) for i, v in zip(d.indices, d.vals)}
+    assert set(got) == set(want)
+    for node, dist in want.items():
+        assert abs(got[node] - dist) < 1e-4
+
+
+def test_dist_bfs_sssp_agree_with_single_chip():
+    """Distributed BFS/SSSP vs the single-chip algorithms module on an
+    RMAT graph (balance relabel exercised)."""
+    import numpy as np
+    from pygraphblas_tpu import Matrix, types, algorithms
+    from pygraphblas_tpu.generators import rmat_edges, to_matrix
+    from pygraphblas_tpu.parallel.dist import make_mesh
+
+    rows, cols, n = rmat_edges(9, 8, seed=3)
+    rows, cols = (np.concatenate([rows, cols]),
+                  np.concatenate([cols, rows]))
+    A = to_matrix(rows, cols, n, types.FP32)
+    D = A.shard(make_mesh(8))
+    lv_d = D.bfs_level(1)
+    lv_s = algorithms.bfs_level(A.pattern(types.BOOL), 1)
+    got = dict(zip(lv_d.indices, lv_d.vals))
+    want = dict(zip(lv_s.indices, lv_s.vals))
+    assert got == want
