@@ -463,6 +463,273 @@ def dist_triangle_count(mesh, nrows, rows, cols):
     return dev_cnt + host_cnt
 
 
+def dist_masked_spgemm(mesh, nrows_a, ncols_a, ncols_b,
+                       ra, ca, va, rb, cb, vb, mr, mc,
+                       add="PLUS", mul="TIMES", dtype=np.float32):
+    """Distributed masked semiring SpGEMM: values of ``C<M> = A (+.x) B``
+    at the mask's positions, block-ROW partitioned over a 1-D ring of
+    the mesh's devices (the general-values form of
+    :func:`dist_triangle_count`'s ring).
+
+    Per mask entry (i, j), the dot product ``add_k mul(A[i,k], B[k,j])``
+    runs as a sorted-concat intersection of A's row i (device-local)
+    with B^T's row j (circulated around the ring by ``lax.ppermute`` —
+    remote-row fetch riding ICI neighbor links).  Memory is O(nnz/P)
+    per device; edge descriptors are static-shape width-bucket arrays
+    exactly as in the triangle ring.
+
+    Returns ``(vals, present)`` aligned with the (mr, mc) mask order:
+    ``present[e]`` is False when the dot product had no terms (the
+    GraphBLAS output pattern rule), in which case ``vals[e]`` is the
+    add identity and must be dropped by the caller.
+    """
+    iparts = max(nrows_a, ncols_a, ncols_b)
+    if iparts >= 1 << 29:
+        raise NotImplementedError(
+            "dist_masked_spgemm packs ids into int32 sort keys; "
+            "dimensions must be < 2^29")
+    if add not in _REDUCES or mul not in _MULS:
+        raise NotImplementedError(f"no distributed {add}_{mul}")
+    reduce_fn, ident = _REDUCES[add]
+    mul_fn = _MULS[mul]
+    dtype = np.dtype(dtype)
+    ident = dtype.type(ident(dtype))
+
+    ra = np.asarray(ra, np.int64)
+    ca = np.asarray(ca, np.int64)
+    va = np.asarray(va, dtype)
+    # B^T: rows indexed by B's column id, payload = (B row id, value)
+    rbt = np.asarray(cb, np.int64)
+    cbt = np.asarray(rb, np.int64)
+    vbt = np.asarray(vb, dtype)
+    mr = np.asarray(mr, np.int64)
+    mc = np.asarray(mc, np.int64)
+
+    devs = mesh.devices.reshape(-1)
+    Pn = len(devs)
+    ring = Mesh(devs, ("p",))
+    rb_a = _cdiv(max(nrows_a, 1), Pn)
+    rb_b = _cdiv(max(ncols_b, 1), Pn)
+
+    def block_csr(rows_, cols_, vals_, n_ids, blk):
+        """(cols_buf, vals_buf, st, dg): per-device packed row slices."""
+        order = np.argsort(rows_, kind="stable")
+        rows_, cols_, vals_ = rows_[order], cols_[order], vals_[order]
+        bi = rows_ // blk
+        bcounts = np.bincount(bi, minlength=Pn)
+        Bmax = max(int(bcounts.max()), 1)
+        bstart = np.concatenate([[0], np.cumsum(bcounts)[:-1]])
+        pos = np.arange(len(rows_)) - bstart[bi]
+        cols_buf = np.zeros((Pn, Bmax), np.int32)
+        vals_buf = np.full((Pn, Bmax), ident, dtype)
+        cols_buf[bi, pos] = cols_.astype(np.int32)
+        vals_buf[bi, pos] = vals_
+        st = np.zeros(n_ids, np.int64)
+        dg = np.zeros(n_ids, np.int64)
+        u, s_idx, d_cnt = np.unique(rows_, return_index=True,
+                                    return_counts=True)
+        st[u] = s_idx - bstart[bi[s_idx]]
+        dg[u] = d_cnt
+        return cols_buf, vals_buf, st, dg, bstart
+
+    colsA, valsA, st_a, dg_a, bstart_a = block_csr(
+        ra, ca, va, nrows_a, rb_a)
+    colsB, valsB, st_b, dg_b, bstart_b = block_csr(
+        rbt, cbt, vbt, ncols_b, rb_b)
+
+    n_edges = len(mr)
+    out_vals = np.full(n_edges, ident, dtype)
+    out_cnt = np.zeros(n_edges, np.int64)
+    wa = dg_a[mr]
+    wb = dg_b[mc]
+    live = (wa > 0) & (wb > 0)
+    a_st = st_a[mr]
+    b_st = st_b[mc]
+    pdev = mr // rb_a
+    qblk = mc // rb_b
+    rnd = (pdev - qblk) % Pn
+    width = wa + wb
+
+    heavy = live & (width > _TC_WIDTH_CAP)
+    if heavy.any():
+        from ..base import burble
+
+        burble("dist_spgemm: %d heavy edges via host intersect",
+               int(heavy.sum()))
+        # host CSR views (cols within a row are NOT sorted here; use
+        # searchsorted on the sorted a-slice)
+        for e in np.nonzero(heavy)[0]:
+            ka = colsA[pdev[e]][a_st[e]:a_st[e] + wa[e]]
+            va_e = valsA[pdev[e]][a_st[e]:a_st[e] + wa[e]]
+            kb = colsB[qblk[e]][b_st[e]:b_st[e] + wb[e]]
+            vb_e = valsB[qblk[e]][b_st[e]:b_st[e] + wb[e]]
+            o = np.argsort(ka, kind="stable")
+            ka, va_e = ka[o], va_e[o]
+            pos = np.searchsorted(ka, kb)
+            posc = np.minimum(pos, len(ka) - 1)
+            hit = ka[posc] == kb
+            if hit.any():
+                prods = np.asarray(mul_fn(va_e[posc[hit]], vb_e[hit]))
+                out_vals[e] = _host_reduce(add, prods, dtype)
+                out_cnt[e] = int(hit.sum())
+
+    light = live & ~heavy
+    widths_p2 = np.maximum(8, 2 ** np.ceil(
+        np.log2(np.maximum(width, 1))).astype(np.int64))
+    menu = sorted(set(widths_p2[light].tolist()))
+
+    desc = []
+    edge_maps = []
+    for w in menu:
+        sel = light & (widths_p2 == w)
+        cnt_pr = np.zeros((Pn, Pn), np.int64)
+        np.add.at(cnt_pr, (pdev[sel], rnd[sel]), 1)
+        E_w = max(int(cnt_pr.max()), 1)
+        ast = np.zeros((Pn, Pn, E_w), np.int32)
+        awa = np.zeros((Pn, Pn, E_w), np.int32)
+        bst2 = np.zeros((Pn, Pn, E_w), np.int32)
+        bwb = np.zeros((Pn, Pn, E_w), np.int32)
+        emap = np.full((Pn, Pn, E_w), -1, np.int64)
+        ids = np.nonzero(sel)[0]
+        key = pdev[ids] * Pn + rnd[ids]
+        o = np.argsort(key, kind="stable")
+        ids, key = ids[o], key[o]
+        kstart = np.concatenate(
+            [[0], np.cumsum(np.bincount(key, minlength=Pn * Pn))[:-1]])
+        within = np.arange(len(ids)) - kstart[key]
+        pp, rr = key // Pn, key % Pn
+        ast[pp, rr, within] = a_st[ids]
+        awa[pp, rr, within] = wa[ids]
+        bst2[pp, rr, within] = b_st[ids]
+        bwb[pp, rr, within] = wb[ids]
+        emap[pp, rr, within] = ids
+        spec = NamedSharding(ring, P("p", None, None))
+        desc.append((int(w), jax.device_put(ast, spec),
+                     jax.device_put(awa, spec),
+                     jax.device_put(bst2, spec),
+                     jax.device_put(bwb, spec)))
+        edge_maps.append(emap)
+
+    if menu:
+        colsA_d = jax.device_put(colsA, NamedSharding(ring, P("p", None)))
+        valsA_d = jax.device_put(valsA, NamedSharding(ring, P("p", None)))
+        colsB_d = jax.device_put(colsB, NamedSharding(ring, P("p", None)))
+        valsB_d = jax.device_put(valsB, NamedSharding(ring, P("p", None)))
+        ring_perm = [(i, (i + 1) % Pn) for i in range(Pn)]
+        identj = jnp.asarray(ident)
+
+        def local(colsL, valsL, colsR, valsR, *dargs):
+            colsL, valsL = colsL[0], valsL[0]
+            colsR, valsR = colsR[0], valsR[0]
+            bufs = [(dargs[4 * k][0], dargs[4 * k + 1][0],
+                     dargs[4 * k + 2][0], dargs[4 * k + 3][0])
+                    for k in range(len(menu))]
+
+            def round_body(r, carry):
+                cbuf, vbuf, outs, cnts = carry
+                new_outs, new_cnts = [], []
+                for (w, *_), (ast, awa, bst2, bwb), ov, oc in zip(
+                        desc, bufs, outs, cnts):
+                    a0 = jax.lax.dynamic_index_in_dim(ast, r, 0, False)
+                    wav = jax.lax.dynamic_index_in_dim(awa, r, 0, False)
+                    b0 = jax.lax.dynamic_index_in_dim(bst2, r, 0, False)
+                    wbv = jax.lax.dynamic_index_in_dim(bwb, r, 0, False)
+                    lane = jnp.arange(w, dtype=jnp.int32)[None, :]
+                    in_a = lane < wav[:, None]
+                    in_b = jnp.logical_and(lane >= wav[:, None],
+                                           lane < (wav + wbv)[:, None])
+                    sa = jnp.clip(a0[:, None] + lane, 0,
+                                  colsL.shape[0] - 1)
+                    sb = jnp.clip(b0[:, None] + lane - wav[:, None], 0,
+                                  cbuf.shape[0] - 1)
+                    sent = jnp.int32(1 << 30)
+                    keys = jnp.where(
+                        in_a, jnp.take(colsL, sa) * 2,
+                        jnp.where(in_b, jnp.take(cbuf, sb) * 2 + 1,
+                                  sent + 2 * lane))
+                    lvals = jnp.where(
+                        in_a, jnp.take(valsL, sa),
+                        jnp.where(in_b, jnp.take(vbuf, sb), identj))
+                    ks, vs = jax.lax.sort((keys, lvals), num_keys=1)
+                    match = (ks[:, :-1] >> 1) == (ks[:, 1:] >> 1)
+                    prods = jnp.where(match,
+                                      mul_fn(vs[:, :-1], vs[:, 1:]),
+                                      identj)
+                    ev = reduce_fn(prods, axis=1)
+                    ec = jnp.sum(match, axis=1, dtype=jnp.int32)
+                    new_outs.append(jax.lax.dynamic_update_index_in_dim(
+                        ov, ev, r, 0))
+                    new_cnts.append(jax.lax.dynamic_update_index_in_dim(
+                        oc, ec, r, 0))
+                cbuf = jax.lax.ppermute(cbuf, "p", ring_perm)
+                vbuf = jax.lax.ppermute(vbuf, "p", ring_perm)
+                return cbuf, vbuf, tuple(new_outs), tuple(new_cnts)
+
+            def _vary(x):
+                # constants entering the fori carry must be marked as
+                # device-varying under shard_map's manual axes
+                return (jax.lax.pcast(x, ("p",), to="varying")
+                        if hasattr(jax.lax, "pcast") else x)
+
+            outs0 = tuple(_vary(jnp.full((Pn, b[0].shape[1]), identj))
+                          for b in bufs)
+            cnts0 = tuple(_vary(jnp.zeros((Pn, b[0].shape[1]), jnp.int32))
+                          for b in bufs)
+            _, _, outs, cnts = jax.lax.fori_loop(
+                0, Pn, round_body, (colsR, valsR, outs0, cnts0))
+            return tuple(outs) + tuple(cnts)
+
+        in_specs = ([P("p", None)] * 4
+                    + [P("p", None, None)] * (4 * len(menu)))
+        out_specs = tuple([P("p", None)] * (2 * len(menu)))
+        shmap = jax.shard_map(local, mesh=ring,
+                              in_specs=tuple(in_specs),
+                              out_specs=out_specs)
+        args = [colsA_d, valsA_d, colsB_d, valsB_d]
+        for (_, ast, awa, bst2, bwb) in desc:
+            args.extend([ast, awa, bst2, bwb])
+        res = shmap(*args)
+        for k, emap in enumerate(edge_maps):
+            ov = np.asarray(res[k]).reshape(Pn, Pn, -1)
+            oc = np.asarray(res[len(menu) + k]).reshape(Pn, Pn, -1)
+            valid = emap >= 0
+            out_vals[emap[valid]] = ov[valid]
+            out_cnt[emap[valid]] = oc[valid]
+
+    return out_vals, out_cnt > 0
+
+
+def _host_reduce(add, arr, dtype):
+    if add == "PLUS":
+        return dtype.type(arr.sum())
+    if add == "MIN":
+        return dtype.type(arr.min())
+    if add == "MAX":
+        return dtype.type(arr.max())
+    if add == "TIMES":
+        return dtype.type(arr.prod())
+    if add == "LOR":
+        return dtype.type((arr != 0).any())
+    if add == "LAND":
+        return dtype.type((arr != 0).all())
+    raise NotImplementedError(add)
+
+
+# per-add-monoid lanewise reducers + identities for the masked-SpGEMM
+# dot products (identity is a function of dtype: MIN/MAX need the
+# dtype's own extremes so integer semirings stay exact)
+_REDUCES = {
+    "PLUS": (jnp.sum, lambda dt: 0),
+    "MIN": (jnp.min, lambda dt: np.inf if dt.kind == "f"
+            else np.iinfo(dt).max),
+    "MAX": (jnp.max, lambda dt: -np.inf if dt.kind == "f"
+            else np.iinfo(dt).min),
+    "TIMES": (jnp.prod, lambda dt: 1),
+    "LOR": (jnp.max, lambda dt: 0),
+    "LAND": (jnp.min, lambda dt: 1),
+}
+
+
 # ---------------------------------------------------------------------------
 # Matrix API integration: Matrix.shard(mesh) -> DistMatrix / DistVector
 # ---------------------------------------------------------------------------
@@ -681,6 +948,62 @@ class DistMatrix:
         """Distributed triangle count (undirected pattern)."""
         return int(dist_triangle_count(self.mesh, self.nrows,
                                        self._rows, self._cols))
+
+    def _logical_coo(self):
+        """Triples in the ORIGINAL id space (undoing the balance
+        relabel), for ops that partition on their own."""
+        if self._rank is None:
+            return self._rows, self._cols, self._vals
+        inv = np.empty_like(self._rank)
+        inv[self._rank] = np.arange(len(self._rank))
+        return inv[self._rows], inv[self._cols], self._vals
+
+    def mxm(self, other, semiring=None, mask=None):
+        """Distributed masked semiring matrix-matrix product: the values
+        of ``C<M> = A (+.x) B`` at the mask's positions, computed by the
+        block-row SpGEMM ring (:func:`dist_masked_spgemm` —
+        ``lax.ppermute`` remote-row fetch per round).
+
+        The mask is REQUIRED: a distributed unmasked product has
+        data-dependent output structure per device, which the
+        static-shape executor model deliberately excludes — use the
+        single-chip engine (``Matrix.mxm``) for unmasked products.
+        Returns a host Matrix with the GraphBLAS output pattern (mask
+        positions whose dot product has at least one term)."""
+        from ..matrix import Matrix
+
+        if mask is None:
+            raise NotImplementedError(
+                "distributed mxm requires a mask (static-shape output); "
+                "use the single-chip Matrix.mxm for unmasked products")
+        if semiring is None:
+            semiring = self.type._default_semiring()
+        add, mul = resolve_ops(semiring)
+        ztype = semiring.ztype
+        dtype = np.dtype(ztype._numpy_t)
+        work_dt = np.int8 if dtype == np.bool_ else dtype
+        ra, ca, va = self._logical_coo()
+        if isinstance(other, DistMatrix):
+            rb, cb, vb = other._logical_coo()
+            b_ncols = other.ncols
+        else:
+            rb, cb, vb = other._coo()
+            b_ncols = other.ncols
+        if self.ncols != (other.nrows):
+            raise DimensionMismatch("mxm inner dimensions differ")
+        if isinstance(mask, DistMatrix):
+            mr, mc, _ = mask._logical_coo()
+        else:
+            mr, mc, _ = mask._coo()
+        vals, present = dist_masked_spgemm(
+            self.mesh, self.nrows, self.ncols, b_ncols,
+            ra, ca, va.astype(work_dt), rb, cb,
+            np.asarray(vb).astype(work_dt), mr, mc,
+            add=add, mul=mul, dtype=work_dt)
+        out = Matrix.sparse(ztype, self.nrows, b_ncols)
+        out._build(np.asarray(mr)[present], np.asarray(mc)[present],
+                   vals[present].astype(dtype))
+        return out
 
     def bfs_level(self, source, max_levels=None):
         """Distributed level-synchronous BFS from ``source``.

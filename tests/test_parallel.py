@@ -348,3 +348,74 @@ def test_dist_bfs_sssp_agree_with_single_chip():
     got = dict(zip(lv_d.indices, lv_d.vals))
     want = dict(zip(lv_s.indices, lv_s.vals))
     assert got == want
+
+
+def test_dist_masked_mxm_matches_single_chip():
+    """DistMatrix.mxm (ring masked SpGEMM with values) vs the
+    single-chip masked mxm across semirings, on the 8-device mesh."""
+    import numpy as np
+    from pygraphblas_tpu import Matrix, types
+    from pygraphblas_tpu.parallel.dist import make_mesh
+
+    rng = np.random.RandomState(29)
+    n = 120
+
+    def rand_mat(nnz, typ=types.FP32, vals=None):
+        k = rng.choice(n * n, size=nnz, replace=False)
+        r, c = k // n, k % n
+        v = vals if vals is not None else rng.uniform(0.5, 4.0, nnz)
+        return Matrix.from_lists(list(r.astype(np.int64)),
+                                 list(c.astype(np.int64)),
+                                 list(v), n, n, typ=typ)
+
+    A = rand_mat(1800)
+    B = rand_mat(1500)
+    M = rand_mat(900, typ=types.BOOL, vals=[True] * 900)
+    mesh = make_mesh(8)
+    D = A.shard(mesh)
+
+    for sem_name in ["PLUS_TIMES", "MIN_PLUS", "MAX_FIRST", "PLUS_PAIR"]:
+        sem = getattr(types.FP32, sem_name)
+        got = D.mxm(B, semiring=sem, mask=M)
+        want = A.mxm(B, semiring=sem, mask=M)
+        gr, gc, gv = got._coo()
+        wr, wc, wv = want._coo()
+        assert np.array_equal(gr, wr), sem_name
+        assert np.array_equal(gc, wc), sem_name
+        assert np.allclose(gv, wv, rtol=1e-5), sem_name
+
+
+def test_dist_masked_mxm_heavy_rows():
+    """Rows wider than the device bucket cap route through the host
+    intersect and still agree with the single-chip engine."""
+    import numpy as np
+    from pygraphblas_tpu import Matrix, types
+    from pygraphblas_tpu.parallel import dist
+    from pygraphblas_tpu.parallel.dist import make_mesh
+
+    rng = np.random.RandomState(31)
+    n = 64
+    # one dense row + random background
+    rows = np.concatenate([np.zeros(n, np.int64),
+                           rng.randint(0, n, 300)])
+    cols = np.concatenate([np.arange(n, dtype=np.int64),
+                           rng.randint(0, n, 300)])
+    k = rows * n + cols
+    _, idx = np.unique(k, return_index=True)
+    rows, cols = rows[idx], cols[idx]
+    v = rng.uniform(0.5, 2.0, len(rows))
+    A = Matrix.from_lists(list(rows), list(cols), list(v), n, n)
+    M = Matrix.from_lists(list(rows), list(cols), [True] * len(rows),
+                          n, n, typ=types.BOOL)
+    old = dist._TC_WIDTH_CAP
+    dist._TC_WIDTH_CAP = 32   # force the heavy path for the dense row
+    try:
+        got = A.shard(make_mesh(8)).mxm(A, semiring=types.FP32.PLUS_TIMES,
+                                        mask=M)
+    finally:
+        dist._TC_WIDTH_CAP = old
+    want = A.mxm(A, semiring=types.FP32.PLUS_TIMES, mask=M)
+    gr, gc, gv = got._coo()
+    wr, wc, wv = want._coo()
+    assert np.array_equal(gr, wr) and np.array_equal(gc, wc)
+    assert np.allclose(gv, wv, rtol=1e-5)
