@@ -655,7 +655,7 @@ def dist_masked_spgemm(mesh, nrows_a, ncols_a, ncols_b,
                     prods = jnp.where(match,
                                       mul_fn(vs[:, :-1], vs[:, 1:]),
                                       identj)
-                    ev = reduce_fn(prods, axis=1)
+                    ev = reduce_fn(prods, axis=1).astype(ov.dtype)
                     ec = jnp.sum(match, axis=1, dtype=jnp.int32)
                     new_outs.append(jax.lax.dynamic_update_index_in_dim(
                         ov, ev, r, 0))
@@ -1003,6 +1003,35 @@ class DistMatrix:
         out = Matrix.sparse(ztype, self.nrows, b_ncols)
         out._build(np.asarray(mr)[present], np.asarray(mc)[present],
                    vals[present].astype(dtype))
+        return out
+
+    def k_truss(self, k):
+        """Distributed k-truss: iterated per-edge support counting via
+        the masked-SpGEMM ring (PLUS_PAIR dot of the current edge set
+        against itself, masked by itself) with pruning to support
+        >= k-2 until fixpoint — the distributed form of
+        ``algorithms.k_truss``.  Returns a host INT64 Matrix of the
+        surviving edges with their support values."""
+        from .. import types as t
+        from ..matrix import Matrix
+
+        r, c, _ = self._logical_coo()
+        r, c = np.asarray(r, np.int64), np.asarray(c, np.int64)
+        support = np.zeros(len(r), np.int32)
+        nvals_last = -1
+        while True:
+            ones = np.ones(len(r), np.int32)
+            vals, present = dist_masked_spgemm(
+                self.mesh, self.nrows, self.nrows, self.nrows,
+                r, c, ones, r, c, ones, r, c,
+                add="PLUS", mul="PAIR", dtype=np.int32)
+            keep = present & (vals >= k - 2)
+            r, c, support = r[keep], c[keep], vals[keep]
+            if len(r) == nvals_last:
+                break
+            nvals_last = len(r)
+        out = Matrix.sparse(t.INT64, self.nrows, self.ncols)
+        out._build(r, c, support.astype(np.int64))
         return out
 
     def bfs_level(self, source, max_levels=None):

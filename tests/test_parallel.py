@@ -419,3 +419,28 @@ def test_dist_masked_mxm_heavy_rows():
     wr, wc, wv = want._coo()
     assert np.array_equal(gr, wr) and np.array_equal(gc, wc)
     assert np.allclose(gv, wv, rtol=1e-5)
+
+
+def test_dist_k_truss_matches_single_chip():
+    """DistMatrix.k_truss (iterated ring masked SpGEMM) vs
+    algorithms.k_truss on a random undirected graph."""
+    import networkx as nx
+    import numpy as np
+    from pygraphblas_tpu import Matrix, types, algorithms
+    from pygraphblas_tpu.parallel.dist import make_mesh
+
+    G = nx.gnm_random_graph(100, 900, seed=13)
+    rows, cols = [], []
+    for u, v in G.edges():
+        rows += [u, v]
+        cols += [v, u]
+    A = Matrix.from_lists(rows, cols, [1] * len(rows), 100, 100,
+                          typ=types.INT64)
+    for k in (4,):
+        got = A.shard(make_mesh(8)).k_truss(k)
+        want = algorithms.k_truss(A, k)
+        gr, gc, gv = got._coo()
+        wr, wc, wv = want._coo()
+        assert np.array_equal(gr, wr), k
+        assert np.array_equal(gc, wc), k
+        assert np.array_equal(gv, wv), k
