@@ -36,7 +36,13 @@ import jax.numpy as jnp
 # resident-source limit: keep the whole source in VMEM below this
 _RESIDENT_BYTES = 11 << 20
 _MAX_XB = 8192           # streaming window block rows (8192*128*4B = 4MB)
-_GW_MAX_SPAN = 120       # group-window kernel: max source rows per group
+# Group-window kernel gate: measured a net LOSS at every span on the
+# real v5e (kron-20 full xspmv 8.84ms with gw vs 5.93ms without — the
+# per-8-row-group dynamic slices + in-kernel fori_loop cost more than
+# the per-row slices they replace; PERF.md round-3 "gw post-mortem").
+# Default 0 disables the encoding; settable for future re-tuning.
+import os as _os
+_GW_MAX_SPAN = int(_os.environ.get("PYGB_MONO_GW_SPAN", "0"))
 _GW_INVALID = 32512      # int16 sentinel for invalid cells (0x7F00)
 
 
@@ -146,7 +152,7 @@ class MonoPlan:
             rspan = (q0 - np.repeat(qg, 8)) + row_w
             span = rspan.reshape(-1, 8).max(axis=1).astype(np.int32)
             span_max = int(span.max()) if len(span) else 0
-            if span_max <= _GW_MAX_SPAN:
+            if _GW_MAX_SPAN > 0 and span_max <= _GW_MAX_SPAN:
                 ci = (q0[:, None] - np.repeat(qg, 8)[:, None]) * 128 + dm64
                 plan.gw = True
                 plan.dm = jnp.asarray(

@@ -492,8 +492,8 @@ class PermPlan:
         biggest intermediate (8x the folded size) is never written to
         HBM.  Returns (array of length n // 8, True) either way; the
         unfused fallback folds in XLA."""
-        if (not self.trivial and self.K == 128 and self.D >= 2
-                and self.n % 1024 == 0):
+        if (_FUSE_FOLD8 and not self.trivial and self.K == 128
+                and self.D >= 2 and self.n % 1024 == 0):
             return _apply_staged(x, self.n, self.D, self.S, self.R0,
                                  self.K, tuple(self.a_stages),
                                  tuple(self.c_stages), self.ssel,
@@ -670,6 +670,13 @@ def _lane_gather_tasc(x2d, idx8, g, r_l, fold8=None):
 
 _FORCE_INTERPRET = False  # tests: run the fused kernel via interpret mode
 
+# Fusion tuning gates (A/B-able at runtime; see PERF.md round-3 notes).
+# _FUSE_MID: run the innermost descend+mid+ascend as one VMEM-resident
+# kernel.  _FUSE_FOLD8: fold 8-row blocks inside the final ascend pass.
+import os as _os
+_FUSE_MID = _os.environ.get("PYGB_PERM_FUSE_MID", "1") != "0"
+_FUSE_FOLD8 = _os.environ.get("PYGB_PERM_FUSE_FOLD8", "1") != "0"
+
 
 def _inner3(x2d, a_in, a_mid, ssel, c_mid, c_in, g, S):
     """Fused middle of the Benes network: innermost descend pass +
@@ -818,7 +825,7 @@ def _apply_staged(x, n, D, S, R0, K, a_stages, c_stages, ssel,
     # VMEM-resident kernel when the layout allows (K == 128 plans with
     # D >= 3; the D == 2 middle would displace the fold8-fused ascend;
     # S <= 24 keeps the per-group slab + intermediates within VMEM)
-    fuse_mid = D >= 3 and K == 128 and S <= 24
+    fuse_mid = _FUSE_MID and D >= 3 and K == 128 and S <= 24
     for lvl in range(D - 1):
         r_l = R0 // 128 ** lvl
         g_count = cur.shape[0] // r_l

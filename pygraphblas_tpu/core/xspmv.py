@@ -44,7 +44,7 @@ MIN_NNZ = 1 << 15
 # content hash (analogous to the reference's .grb binfile caches,
 # gap/prmark.py:48)
 PLAN_CACHE_DIR = os.environ.get("PYGB_PLAN_CACHE", "/tmp/pygb_plans")
-_PLAN_VERSION = 11
+_PLAN_VERSION = 12
 
 _ADDS = {
     "PLUS": (lambda a, b: a + b, "add"),
