@@ -44,6 +44,7 @@ _MAX_XB = 8192           # streaming window block rows (8192*128*4B = 4MB)
 import os as _os
 _GW_MAX_SPAN = int(_os.environ.get("PYGB_MONO_GW_SPAN", "0"))
 _GW_INVALID = 32512      # int16 sentinel for invalid cells (0x7F00)
+_FORCE_INTERPRET = False  # tests: run the pallas kernels in interpret mode
 
 
 def _on_tpu():
@@ -209,7 +210,8 @@ def mono_gather(plan, src, fill, vals=None, mul=None, fold=None):
     """
     S = plan.S
     dtype = src.dtype
-    if not _on_tpu() or not plan.ok or dtype.itemsize > 4:
+    if (not _on_tpu() and not _FORCE_INTERPRET) or not plan.ok \
+            or dtype.itemsize > 4:
         if plan.gw:
             valid = plan.dm != _GW_INVALID
             idx = (jnp.repeat(plan.qg.astype(jnp.int64), 8)[:, None] * 128
@@ -346,6 +348,7 @@ def _mono_pallas_gw(plan, src, fill, vals, mul, fold):
             in_specs=in_specs,
             out_specs=pl.BlockSpec((out_blk, 128), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
+            interpret=_FORCE_INTERPRET,
         )(*args)
 
 
@@ -467,7 +470,9 @@ def _mono_pallas(plan, src, fill, vals, mul, fold):
         )
         with jax.enable_x64(False):  # index maps must trace 32-bit
             return pl.pallas_call(kern, out_shape=out_shape,
-                                  grid_spec=grid_spec)(plan.xblk, *args)
+                                  grid_spec=grid_spec,
+                                  interpret=_FORCE_INTERPRET)(
+                plan.xblk, *args)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -487,4 +492,5 @@ def _mono_pallas(plan, src, fill, vals, mul, fold):
         in_specs=in_specs,
         out_specs=pl.BlockSpec((out_blk, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+        interpret=_FORCE_INTERPRET,
     )(*args)

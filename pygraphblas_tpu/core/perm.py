@@ -670,7 +670,8 @@ def _lane_gather_tasc(x2d, idx8, g, r_l, fold8=None):
 
 _FORCE_INTERPRET = False  # tests: run the fused kernel via interpret mode
 
-# Fusion tuning gates (A/B-able at runtime; see PERF.md round-3 notes).
+# Fusion tuning gates (A/B-able at runtime; PERF.md "Tuning env-var
+# knobs").
 # _FUSE_MID: run the innermost descend+mid+ascend as one VMEM-resident
 # kernel.  _FUSE_FOLD8: fold 8-row blocks inside the final ascend pass.
 import os as _os

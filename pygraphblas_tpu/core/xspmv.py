@@ -119,8 +119,12 @@ class XSpmvPlan:
         h.update(np.ascontiguousarray(rows, np.int64).tobytes())
         h.update(np.ascontiguousarray(cols, np.int64).tobytes())
         h.update(np.ascontiguousarray(vals).tobytes())
+        # _GW_MAX_SPAN changes MonoPlan encoding (plan.gw is baked into
+        # the pickle): a tuning run must not poison default runs' cache
+        from . import mono as _mono
+
         h.update(f"{nrows}|{ncols}|{np.dtype(dtype).str}|"
-                 f"{_PLAN_VERSION}".encode())
+                 f"{_PLAN_VERSION}|gw{_mono._GW_MAX_SPAN}".encode())
         return os.path.join(PLAN_CACHE_DIR, h.hexdigest() + ".plan")
 
     @staticmethod

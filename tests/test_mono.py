@@ -60,3 +60,50 @@ def test_fold_min_identity():
     g = np.where(idxp >= 0, np.asarray(src)[np.clip(idxp, 0, None)],
                  np.inf).reshape(plan.S // 8, 8, 128)
     assert np.allclose(out, g.min(axis=1), rtol=1e-6)
+
+
+def _gw_case(monkeypatch, span):
+    """Build the same gather twice — default encoding and group-window
+    encoding — and return both plans plus inputs (ADVICE r3: the gw
+    path has no default-path coverage since PYGB_MONO_GW_SPAN=0)."""
+    from pygraphblas_tpu.core import mono
+
+    rng = np.random.RandomState(7)
+    src_n = 9000
+    n = 64 * 128
+    idx = np.sort(rng.randint(0, src_n, n))
+    idx[::11] = -1
+    idx = np.concatenate([np.sort(idx[idx >= 0]),
+                          np.full((idx < 0).sum(), -1)])
+    plan0 = MonoPlan.build(idx, src_n)
+    monkeypatch.setattr(mono, "_GW_MAX_SPAN", span)
+    plang = MonoPlan.build(idx, src_n)
+    assert plang.gw and not plan0.gw
+    src = jnp.asarray(rng.rand(src_n).astype(np.float32))
+    vals = jnp.asarray(rng.rand(plan0.S * 128).astype(np.float32))
+    return plan0, plang, src, vals
+
+
+def test_gw_xla_fallback_matches_default(monkeypatch):
+    plan0, plang, src, vals = _gw_case(monkeypatch, 120)
+    for kw in ({}, {"vals": vals, "mul": lambda a, b: a * b},
+               {"fold": lambda a, b: a + b}):
+        want = np.asarray(mono_gather(plan0, src, 0.0, **kw))
+        got = np.asarray(mono_gather(plang, src, 0.0, **kw))
+        assert np.allclose(got, want, rtol=1e-5)
+
+
+def test_gw_interpret_kernel_matches_default(monkeypatch):
+    from pygraphblas_tpu.core import mono
+
+    plan0, plang, src, vals = _gw_case(monkeypatch, 120)
+    want = np.asarray(mono_gather(plan0, src, 0.0, vals=vals,
+                                  mul=lambda a, b: a * b))
+    monkeypatch.setattr(mono, "_FORCE_INTERPRET", True)
+    got = np.asarray(mono_gather(plang, src, 0.0, vals=vals,
+                                 mul=lambda a, b: a * b))
+    assert np.allclose(got, want, rtol=1e-5)
+    # the per-row kernel under interpret mode too
+    got0 = np.asarray(mono_gather(plan0, src, 0.0, vals=vals,
+                                  mul=lambda a, b: a * b))
+    assert np.allclose(got0, want, rtol=1e-5)
