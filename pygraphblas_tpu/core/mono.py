@@ -36,15 +36,19 @@ import jax.numpy as jnp
 # resident-source limit: keep the whole source in VMEM below this
 _RESIDENT_BYTES = 11 << 20
 _MAX_XB = 8192           # streaming window block rows (8192*128*4B = 4MB)
-# Group-window kernel gate: measured a net LOSS at every span on the
-# real v5e (kron-20 full xspmv 8.84ms with gw vs 5.93ms without — the
-# per-8-row-group dynamic slices + in-kernel fori_loop cost more than
-# the per-row slices they replace; PERF.md round-3 "gw post-mortem").
-# Default 0 disables the encoding; settable for future re-tuning.
-import os as _os
-_GW_MAX_SPAN = int(_os.environ.get("PYGB_MONO_GW_SPAN", "0"))
-_GW_INVALID = 32512      # int16 sentinel for invalid cells (0x7F00)
+# Group-span kernel gate: one ds(qg, wva) multi-sublane slice per 8-row
+# group replaces per-row (and per-window) single-row slices, which cost
+# ~10 cyc each and dominate the per-row kernel (PERF.md round-4).  The
+# static unroll bound: groups spanning more source rows than this fall
+# back to the per-row kernel.  (Supersedes the round-3 "gw" encoding,
+# whose dynamic in-kernel span loop measured a net loss — PERF.md
+# "Round-3 gw post-mortem".)
+_SPAN_MAX_WVA = 48
 _FORCE_INTERPRET = False  # tests: run the pallas kernels in interpret mode
+# group loop strategy in the span kernel: python unroll (static slices,
+# cross-group ILP) vs fori_loop (serial dependency chains)
+import os as _os
+_SPAN_UNROLL = _os.environ.get("PYGB_MONO_SPAN_UNROLL", "1") != "0"
 
 
 def _on_tpu():
@@ -68,22 +72,21 @@ class MonoPlan:
 
     __slots__ = ("S", "blk", "src_n", "src_rows", "q0", "dm", "max_w",
                  "stream", "xb", "xblk", "xblk_max", "ok",
-                 "gw", "qg", "span", "span_max")
+                 "wva", "qg")
 
     def _aux(self):
         return (self.S, self.blk, self.src_n, self.src_rows, self.max_w,
-                self.stream, self.xb, self.xblk_max, self.ok,
-                self.gw, self.span_max)
+                self.stream, self.xb, self.xblk_max, self.ok, self.wva)
 
     def _children(self):
-        return (self.q0, self.dm, self.xblk, self.qg, self.span)
+        return (self.q0, self.dm, self.xblk, self.qg)
 
     @staticmethod
     def _unflatten(aux, children):
         p = MonoPlan()
         (p.S, p.blk, p.src_n, p.src_rows, p.max_w, p.stream, p.xb,
-         p.xblk_max, p.ok, p.gw, p.span_max) = aux
-        p.q0, p.dm, p.xblk, p.qg, p.span = children
+         p.xblk_max, p.ok, p.wva) = aux
+        p.q0, p.dm, p.xblk, p.qg = children
         return p
 
     @staticmethod
@@ -126,10 +129,8 @@ class MonoPlan:
         plan.dm = jnp.asarray(dm)
         plan.max_w = int(dm.max() // 128 + 1) if n else 1
         plan.ok = True
-        plan.gw = False
+        plan.wva = 0
         plan.qg = jnp.zeros((S // 8,), jnp.int32)
-        plan.span = jnp.zeros((S // 8,), jnp.int32)
-        plan.span_max = 0
 
         blk = 512
         while S % blk:
@@ -142,25 +143,20 @@ class MonoPlan:
             plan.xb = 0
             plan.xblk = jnp.zeros((S // blk,), jnp.int32)
             plan.xblk_max = 0
-            # group-window encoding: one dynamic sublane slice per 8-row
-            # group instead of 8*max_w single-row slices (the slices
-            # dominate the decode kernel at ~10 cyc each — PERF.md r3).
-            # qg = window base sublane per group; dm becomes the absolute
-            # in-window element offset; span = window rows per group.
+            # group-span encoding: ONE ds(qg, wva) multi-sublane slice
+            # per 8-row group instead of 8*max_w single-row slices (the
+            # slices cost ~10 cyc each and dominate — PERF.md round-4).
+            # qg = group window base row; dm re-encoded relative to the
+            # GROUP base; wva = static unroll bound (max group span).
             qg = q0[0::8]                       # q0 is non-decreasing
-            row_w = np.where(valid.any(axis=1),
-                             dm64.max(axis=1) // 128 + 1, 0)
-            rspan = (q0 - np.repeat(qg, 8)) + row_w
-            span = rspan.reshape(-1, 8).max(axis=1).astype(np.int32)
-            span_max = int(span.max()) if len(span) else 0
-            if _GW_MAX_SPAN > 0 and span_max <= _GW_MAX_SPAN:
-                ci = (q0[:, None] - np.repeat(qg, 8)[:, None]) * 128 + dm64
-                plan.gw = True
+            ci = (q0[:, None] - np.repeat(qg, 8)[:, None]) * 128 + dm64
+            ci_max = int(np.where(dm64 >= 0, ci, 0).max()) if n else 0
+            wva = ci_max // 128 + 1
+            if wva <= _SPAN_MAX_WVA:
+                plan.wva = wva
                 plan.dm = jnp.asarray(
-                    np.where(dm64 >= 0, ci, _GW_INVALID).astype(np.int16))
+                    np.where(dm64 >= 0, ci, -1).astype(np.int16))
                 plan.qg = jnp.asarray(qg.astype(np.int32))
-                plan.span = jnp.asarray(np.maximum(span, 1))
-                plan.span_max = span_max
             return plan
 
         # streaming: per output block, two consecutive source blocks of
@@ -212,30 +208,16 @@ def mono_gather(plan, src, fill, vals=None, mul=None, fold=None):
     dtype = src.dtype
     if (not _on_tpu() and not _FORCE_INTERPRET) or not plan.ok \
             or dtype.itemsize > 4:
-        if plan.gw:
-            valid = plan.dm != _GW_INVALID
-            idx = (jnp.repeat(plan.qg.astype(jnp.int64), 8)[:, None] * 128
-                   + jnp.where(valid, plan.dm, 0))
-            g = jnp.take(src, jnp.clip(idx.reshape(-1), 0,
-                                       src.shape[0] - 1))
-            g = g.reshape(S, 128)
-            g = jnp.where(valid, g, jnp.asarray(fill, dtype))
-            if mul is not None:
-                g = jnp.where(valid, mul(vals.reshape(S, 128), g),
-                              jnp.asarray(fill, dtype))
-            if fold is not None:
-                g = g.reshape(S // 8, 8, 128)
-                out = g[:, 0, :]
-                for k in range(1, 8):
-                    out = fold(out, g[:, k, :])
-                return out
-            return g
-        q0 = plan.q0.astype(jnp.int64)
-        if plan.stream:
-            q0 = q0 + jnp.repeat(plan.xblk.astype(jnp.int64) * plan.xb,
-                                 plan.blk)
         valid = plan.dm >= 0
-        idx = q0[:, None] * 128 + plan.dm
+        if plan.wva:
+            # span encoding: dm is relative to the GROUP base row
+            base = jnp.repeat(plan.qg.astype(jnp.int64), 8)
+        else:
+            base = plan.q0.astype(jnp.int64)
+            if plan.stream:
+                base = base + jnp.repeat(
+                    plan.xblk.astype(jnp.int64) * plan.xb, plan.blk)
+        idx = base[:, None] * 128 + plan.dm
         g = jnp.take(src, jnp.clip(idx.reshape(-1), 0, src.shape[0] - 1))
         g = g.reshape(S, 128)
         g = jnp.where(valid, g, jnp.asarray(fill, dtype))
@@ -249,8 +231,8 @@ def mono_gather(plan, src, fill, vals=None, mul=None, fold=None):
                 out = fold(out, g[:, k, :])
             return out
         return g
-    if plan.gw:
-        return _mono_pallas_gw(plan, src, fill, vals, mul, fold)
+    if plan.wva:
+        return _mono_pallas_span(plan, src, fill, vals, mul, fold)
     return _mono_pallas(plan, src, fill, vals, mul, fold)
 
 
@@ -262,80 +244,86 @@ def _pad_rows(src, rows):
     return src[:need].reshape(rows, 128)
 
 
-def _mono_pallas_gw(plan, src, fill, vals, mul, fold):
-    """Group-window kernel (resident sources): ONE dynamic sublane slice
-    per 8-row group + in-register lane gathers/selects, instead of
-    8*max_w single-row slices.  The slices dominate the per-row kernel
-    (~10 cyc each, PERF.md r3); this cuts them 8-16x.  dm is encoded as
-    the absolute in-window offset (sublane = dm>>7, lane = dm&127)."""
+def _mono_pallas_span(plan, src, fill, vals, mul, fold):
+    """Group-span kernel (resident sources): ONE ds(qg, wva) multi-
+    sublane slice per 8-row group + wva static-unrolled in-register lane
+    gathers/selects, instead of 8*max_w single-row slices (~10 cyc
+    each).  dm is the in-window element offset relative to the group
+    base row (sublane = dm>>7, lane = dm&127; -1 = invalid)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     S, blk = plan.S, plan.blk
+    wva = plan.wva
     dtype = src.dtype
     fill = np.dtype(dtype).type(fill)
     folded = fold is not None
-    nsrc_rows = plan.src_rows + plan.span_max + 2
+    nsrc_rows = plan.src_rows + wva + 2
     src2 = _pad_rows(src, nsrc_rows)
-    unroll = max(1, min(plan.span_max, 2))
 
     def kern(*refs):
-        qg_ref, sp_ref, dm_ref, x_ref = refs[:4]
-        rest = refs[4:]
+        qg_ref, dm_ref, x_ref = refs[:3]
+        rest = refs[3:]
         if mul is not None:
             v_ref = rest[0]
             rest = rest[1:]
         out_ref = rest[0]
         gbase = pl.program_id(0).astype(jnp.int32) * (blk // 8)
 
-        def do_group(g, _):
-            g = g.astype(jnp.int32)
+        def do_group(g, unrolled):
+            if not unrolled:
+                g = g.astype(jnp.int32)
             s0 = g * 8
-            dmg = dm_ref[pl.ds(s0, 8), :].astype(jnp.int32)
-            qg = qg_ref[gbase + g]
-            sb = dmg >> 7            # in-window sublane (254 = invalid)
+            if unrolled:
+                dmg = dm_ref[s0:s0 + 8, :].astype(jnp.int32)
+            else:
+                dmg = dm_ref[pl.ds(s0, 8), :].astype(jnp.int32)
+            win = x_ref[pl.ds(qg_ref[gbase + g], wva), :]   # (wva, 128)
+            sb = dmg >> 7              # in-window sublane (-1 = invalid)
             ln = jnp.bitwise_and(dmg, 127)
-
-            def step(s, acc):
-                row = x_ref[pl.ds(qg + s, 1), :]
-                gsel = jnp.take_along_axis(
-                    jnp.broadcast_to(row, (8, 128)), ln, axis=1)
-                return jnp.where(sb == s, gsel, acc)
-
             acc = jnp.full((8, 128), fill, dtype)
-            for s in range(unroll):
-                acc = step(s, acc)
-            if plan.span_max > unroll:
-                span = sp_ref[gbase + g]
-                acc = jax.lax.fori_loop(
-                    unroll, span,
-                    lambda s, a: step(s.astype(jnp.int32), a), acc)
+            for k in range(wva):
+                gsel = jnp.take_along_axis(
+                    jnp.broadcast_to(win[k:k + 1, :], (8, 128)), ln,
+                    axis=1)
+                acc = jnp.where(sb == k, gsel, acc)
             if mul is not None:
-                acc = jnp.where(dmg != _GW_INVALID,
-                                mul(v_ref[pl.ds(s0, 8), :], acc),
+                vv = v_ref[s0:s0 + 8, :] if unrolled \
+                    else v_ref[pl.ds(s0, 8), :]
+                acc = jnp.where(dmg >= 0, mul(vv, acc),
                                 jnp.asarray(fill, dtype))
             if folded:
                 r = acc[0:1, :]
                 for k in range(1, 8):
                     r = fold(r, acc[k:k + 1, :])
-                out_ref[pl.ds(g, 1), :] = r
+                if unrolled:
+                    out_ref[g:g + 1, :] = r
+                else:
+                    out_ref[pl.ds(g, 1), :] = r
             else:
-                out_ref[pl.ds(s0, 8), :] = acc
+                if unrolled:
+                    out_ref[s0:s0 + 8, :] = acc
+                else:
+                    out_ref[pl.ds(s0, 8), :] = acc
             return 0
 
         with jax.enable_x64(False):
-            jax.lax.fori_loop(0, blk // 8, do_group, 0)
+            if _SPAN_UNROLL:
+                for g in range(blk // 8):
+                    do_group(g, True)
+            else:
+                jax.lax.fori_loop(0, blk // 8,
+                                  lambda g, c: do_group(g, False), 0)
 
     out_rows = S // 8 if folded else S
     out_blk = blk // 8 if folded else blk
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                      # qg
-        pl.BlockSpec(memory_space=pltpu.SMEM),                      # span
         pl.BlockSpec((blk, 128), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),                      # dm
         pl.BlockSpec(memory_space=pltpu.VMEM),                      # src
     ]
-    args = [plan.qg, plan.span, plan.dm, src2]
+    args = [plan.qg, plan.dm, src2]
     if mul is not None:
         in_specs.append(pl.BlockSpec((blk, 128), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM))

@@ -553,12 +553,16 @@ def _lane_gather(x2d, idx8):
 
 
 def _pick_tile_batch(rb):
-    """Largest divisor of rb that is <= 16 (tile-batch per grid step)."""
-    best = 1
-    for b in range(1, min(rb, 16) + 1):
+    """Tile-batch per grid step: a divisor of rb that satisfies the TPU
+    block rule for the (…, B, 128) output spec — B % 8 == 0 or B == rb.
+    Returns None when no such batch exists (callers fall back to the
+    unfused gather + XLA transpose)."""
+    for b in (16, 8):
         if rb % b == 0:
-            best = b
-    return best
+            return b
+    if rb <= 16:
+        return rb          # whole-array block: exempt from the 8-rule
+    return None
 
 
 def _lane_gather_tdesc(x2d, idx8, g, r_l):
@@ -568,7 +572,8 @@ def _lane_gather_tdesc(x2d, idx8, g, r_l):
     XLA transpose pass (a full HBM round trip per level) disappears
     (PERF.md round-2 roadmap item 1)."""
     rb = r_l // 128
-    if not _on_tpu() or x2d.dtype.itemsize > 4 or r_l % 128:
+    B = _pick_tile_batch(rb) if r_l % 128 == 0 else None
+    if not _on_tpu() or x2d.dtype.itemsize > 4 or B is None:
         y = _lane_gather(x2d, idx8)
         t = y.reshape(g, r_l, 128)
         t = jnp.swapaxes(t, 1, 2)
@@ -576,7 +581,6 @@ def _lane_gather_tdesc(x2d, idx8, g, r_l):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    B = _pick_tile_batch(rb)
     x4 = x2d.reshape(g, rb, 128, 128)
     i4 = idx8.reshape(g, rb, 128, 128)
 
@@ -586,7 +590,7 @@ def _lane_gather_tdesc(x2d, idx8, g, r_l):
                 xt = x_ref[0, b]
                 it = i_ref[0, b].astype(jnp.int32)
                 y = jnp.take_along_axis(xt, it, axis=1)
-                o_ref[0, :, b, :] = y.T
+                o_ref[0, :, b, :] = _tp(y)
 
     with jax.enable_x64(False):
         out = pl.pallas_call(
@@ -614,7 +618,8 @@ def _lane_gather_tasc(x2d, idx8, g, r_l, fold8=None):
     lanewise in-kernel -> (g*r_l//8, 128): the full-size result never
     touches HBM (xspmv level-0 reduction fusion)."""
     rb = r_l // 128
-    if not _on_tpu() or x2d.dtype.itemsize > 4 or r_l % 128:
+    B = _pick_tile_batch(rb) if r_l % 128 == 0 else None
+    if not _on_tpu() or x2d.dtype.itemsize > 4 or B is None:
         t = x2d.reshape(g, 128, r_l)
         t = jnp.swapaxes(t, 1, 2)
         y = _lane_gather(t.reshape(g * r_l, 128), idx8)
@@ -628,7 +633,6 @@ def _lane_gather_tasc(x2d, idx8, g, r_l, fold8=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    B = _pick_tile_batch(rb)
     x4 = x2d.reshape(g, 128, rb, 128)
     i4 = idx8.reshape(g, rb, 128, 128)
     folded = fold8 is not None
@@ -638,7 +642,7 @@ def _lane_gather_tasc(x2d, idx8, g, r_l, fold8=None):
             for b in range(B):
                 xt = x_ref[0, :, b, :]
                 it = i_ref[0, b].astype(jnp.int32)
-                y = jnp.take_along_axis(xt.T, it, axis=1)
+                y = jnp.take_along_axis(_tp(xt), it, axis=1)
                 if folded:
                     y3 = y.reshape(16, 8, 128)
                     r = y3[:, 0, :]
@@ -677,6 +681,18 @@ _FORCE_INTERPRET = False  # tests: run the fused kernel via interpret mode
 import os as _os
 _FUSE_MID = _os.environ.get("PYGB_PERM_FUSE_MID", "1") != "0"
 _FUSE_FOLD8 = _os.environ.get("PYGB_PERM_FUSE_FOLD8", "1") != "0"
+# in-kernel (128,128) tile transpose strategy: VPU shuffles (jnp .T) or
+# MXU identity-matmul (dot_general contracting axis 0 against I).
+_MXU_TPOSE = _os.environ.get("PYGB_PERM_MXU_TPOSE", "0") != "0"
+
+
+def _tp(y):
+    """Transpose a square lane tile inside a Pallas kernel."""
+    if not _MXU_TPOSE:
+        return y.T
+    eye = jnp.eye(y.shape[0], dtype=y.dtype)
+    return jax.lax.dot_general(y, eye, (((0,), (0,)), ((), ())),
+                               preferred_element_type=y.dtype)
 
 
 def _inner3(x2d, a_in, a_mid, ssel, c_mid, c_in, g, S):
@@ -715,7 +731,7 @@ def _inner3(x2d, a_in, a_mid, ssel, c_mid, c_in, g, S):
             for b in range(S):
                 y = jnp.take_along_axis(
                     X[b], ai_ref[0, b].astype(jnp.int32), axis=1)
-                zs.append(y.T)
+                zs.append(_tp(y))
             Z = jnp.stack(zs, axis=1)          # (128, S, 128)
             # mid: A gather + sublane select + C gather within (S,128)
             ami = am_ref[0].reshape(128 * S, 128).astype(jnp.int32)
@@ -733,7 +749,7 @@ def _inner3(x2d, a_in, a_mid, ssel, c_mid, c_in, g, S):
             # ascend: inverse transpose + lane gather, rows back to (b,r')
             for b in range(S):
                 o_ref[0, b] = jnp.take_along_axis(
-                    M[:, b, :].T, ci_ref[0, b].astype(jnp.int32), axis=1)
+                    _tp(M[:, b, :]), ci_ref[0, b].astype(jnp.int32), axis=1)
 
     specs4 = [pl.BlockSpec((1,) + a.shape[1:],
                            lambda i: (i, 0, 0, 0),

@@ -44,7 +44,7 @@ MIN_NNZ = 1 << 15
 # content hash (analogous to the reference's .grb binfile caches,
 # gap/prmark.py:48)
 PLAN_CACHE_DIR = os.environ.get("PYGB_PLAN_CACHE", "/tmp/pygb_plans")
-_PLAN_VERSION = 12
+_PLAN_VERSION = 13
 
 _ADDS = {
     "PLUS": (lambda a, b: a + b, "add"),
@@ -119,12 +119,8 @@ class XSpmvPlan:
         h.update(np.ascontiguousarray(rows, np.int64).tobytes())
         h.update(np.ascontiguousarray(cols, np.int64).tobytes())
         h.update(np.ascontiguousarray(vals).tobytes())
-        # _GW_MAX_SPAN changes MonoPlan encoding (plan.gw is baked into
-        # the pickle): a tuning run must not poison default runs' cache
-        from . import mono as _mono
-
         h.update(f"{nrows}|{ncols}|{np.dtype(dtype).str}|"
-                 f"{_PLAN_VERSION}|gw{_mono._GW_MAX_SPAN}".encode())
+                 f"{_PLAN_VERSION}".encode())
         return os.path.join(PLAN_CACHE_DIR, h.hexdigest() + ".plan")
 
     @staticmethod

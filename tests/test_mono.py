@@ -62,10 +62,9 @@ def test_fold_min_identity():
     assert np.allclose(out, g.min(axis=1), rtol=1e-6)
 
 
-def _gw_case(monkeypatch, span):
-    """Build the same gather twice — default encoding and group-window
-    encoding — and return both plans plus inputs (ADVICE r3: the gw
-    path has no default-path coverage since PYGB_MONO_GW_SPAN=0)."""
+def _span_case(monkeypatch):
+    """Build the same gather twice — the default group-span encoding and
+    the forced per-row encoding — and return both plans plus inputs."""
     from pygraphblas_tpu.core import mono
 
     rng = np.random.RandomState(7)
@@ -75,35 +74,41 @@ def _gw_case(monkeypatch, span):
     idx[::11] = -1
     idx = np.concatenate([np.sort(idx[idx >= 0]),
                           np.full((idx < 0).sum(), -1)])
+    plans = MonoPlan.build(idx, src_n)
+    monkeypatch.setattr(mono, "_SPAN_MAX_WVA", 0)
     plan0 = MonoPlan.build(idx, src_n)
-    monkeypatch.setattr(mono, "_GW_MAX_SPAN", span)
-    plang = MonoPlan.build(idx, src_n)
-    assert plang.gw and not plan0.gw
+    assert plans.wva > 0 and plan0.wva == 0
     src = jnp.asarray(rng.rand(src_n).astype(np.float32))
     vals = jnp.asarray(rng.rand(plan0.S * 128).astype(np.float32))
-    return plan0, plang, src, vals
+    return plan0, plans, src, vals
 
 
-def test_gw_xla_fallback_matches_default(monkeypatch):
-    plan0, plang, src, vals = _gw_case(monkeypatch, 120)
+def test_span_xla_fallback_matches_perrow(monkeypatch):
+    plan0, plans, src, vals = _span_case(monkeypatch)
     for kw in ({}, {"vals": vals, "mul": lambda a, b: a * b},
                {"fold": lambda a, b: a + b}):
         want = np.asarray(mono_gather(plan0, src, 0.0, **kw))
-        got = np.asarray(mono_gather(plang, src, 0.0, **kw))
+        got = np.asarray(mono_gather(plans, src, 0.0, **kw))
         assert np.allclose(got, want, rtol=1e-5)
 
 
-def test_gw_interpret_kernel_matches_default(monkeypatch):
+def test_span_interpret_kernel_matches_perrow(monkeypatch):
     from pygraphblas_tpu.core import mono
 
-    plan0, plang, src, vals = _gw_case(monkeypatch, 120)
+    plan0, plans, src, vals = _span_case(monkeypatch)
     want = np.asarray(mono_gather(plan0, src, 0.0, vals=vals,
                                   mul=lambda a, b: a * b))
     monkeypatch.setattr(mono, "_FORCE_INTERPRET", True)
-    got = np.asarray(mono_gather(plang, src, 0.0, vals=vals,
+    got = np.asarray(mono_gather(plans, src, 0.0, vals=vals,
                                  mul=lambda a, b: a * b))
     assert np.allclose(got, want, rtol=1e-5)
     # the per-row kernel under interpret mode too
     got0 = np.asarray(mono_gather(plan0, src, 0.0, vals=vals,
                                   mul=lambda a, b: a * b))
     assert np.allclose(got0, want, rtol=1e-5)
+    # fold tail in the span kernel
+    want_f = np.asarray(mono_gather(plan0, src, 0.0,
+                                    fold=lambda a, b: a + b))
+    got_f = np.asarray(mono_gather(plans, src, 0.0,
+                                   fold=lambda a, b: a + b))
+    assert np.allclose(got_f, want_f, rtol=1e-5)
