@@ -116,21 +116,17 @@ def main():
         return jnp.concatenate([cur, jnp.zeros(pad, jnp.float32)])
     timed_loop(folds, plan, f0, args.iters, "fold cascade (all levels)")
 
-    # placements (carry must keep f0's type: pad y back to 8*m1)
+    # placement (carry must keep f0's type: pad y back to 8*m1)
     def places(pl, f):
-        y = jnp.zeros((pl.nrows,), jnp.float32)
         cur = f.reshape(m1 // 128, 8, 128)[:, 0, :].reshape(-1)
-        srcs = [cur]
         for lp in pl.levels:
             cur = mono_gather(lp, cur.reshape(-1), np.float32(0),
                               fold=fold).reshape(-1)
-            srcs.append(cur)
-        for pl_plan, mask, fsrc in zip(pl.places, pl.masks, srcs):
-            placed = mono_gather(pl_plan, fsrc.reshape(-1), np.float32(0))
-            y = jnp.where(mask, placed.reshape(-1)[:pl.nrows], y)
+        y = mono_gather(pl.places[0], cur.reshape(-1),
+                        np.float32(0)).reshape(-1)[:pl.nrows]
         return jnp.concatenate(
             [y, jnp.zeros(8 * m1 - pl.nrows, jnp.float32)])
-    timed_loop(places, plan, f0, args.iters, "folds+placements")
+    timed_loop(places, plan, f0, args.iters, "folds+placement")
 
 
 if __name__ == "__main__":

@@ -21,6 +21,30 @@ plain Python functions traced into kernels, and multi-chip scaling uses
       0  1  2
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: kernel variants (bucketed SpGEMM
+# widths, Benes passes, fused algorithm loops) compile in minutes
+# through the remote-TPU tunnel but re-load in seconds.  Opt out by
+# setting PYGB_XLA_CACHE=0 or configuring JAX_COMPILATION_CACHE_DIR
+# yourself.  (Role analog: the reference's SuiteSparse pre-built
+# kernel library, built once at install — build-wheels.sh:14.)
+_cc = _os.environ.get("PYGB_XLA_CACHE", "/tmp/pygb_xla_cache")
+if _cc != "0" and not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cc)
+        # threshold 0: through the remote-TPU tunnel the real compile
+        # happens SERVER-side and the local timer sees ~1s, so any
+        # positive threshold refuses to cache exactly the executables
+        # that cost minutes (a cached entry ships the compiled binary
+        # and skips the remote compile entirely)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           0.0)
+    except Exception:  # pragma: no cover - older jax without the flag
+        pass
+
 from .base import (
     NULL,
     GxB_INDEX_MAX,

@@ -203,16 +203,15 @@ def triangle_count(A, method="sandia", order_by_degree=True):
         relabeled._build(rank[r], rank[c], _np.asarray(v))
         A = relabeled
     L = A.tril(-1)
-    U = A.triu(1)
     sr = types.INT64.plus_pair
     if method == "cohen":
-        C = L.mxm(U, semiring=sr, mask=A, cast=types.INT64)
+        C = L.mxm(A.triu(1), semiring=sr, mask=A, cast=types.INT64)
         return C.reduce_int() // 2
     if method == "sandia":
         C = L.mxm(L, semiring=sr, mask=L, cast=types.INT64)
         return C.reduce_int()
     if method == "sandia_dot":
-        C = L.mxm(U, semiring=sr, mask=L, cast=types.INT64,
+        C = L.mxm(A.triu(1), semiring=sr, mask=L, cast=types.INT64,
                   desc=descriptor.T1)
         return C.reduce_int()
     raise ValueError(f"unknown method {method}")

@@ -36,6 +36,16 @@ def build(rows, cols, vals, dtype, dedup="last"):
     vals = np.asarray(vals, dtype)
     if rows.size == 0:
         return rows, cols, vals
+    # already canonical (strictly (row, col)-sorted, no dups): the
+    # common case for op RESULTS (tril/triu, masked SpGEMM inherit the
+    # sorted mask order) — the O(n) check skips the O(n log n) sort
+    if rows.size > 1:
+        rs, cs = rows[1:], cols[1:]
+        rp, cp = rows[:-1], cols[:-1]
+        if bool(np.all((rs > rp) | ((rs == rp) & (cs > cp)))):
+            return rows, cols, vals
+    else:
+        return rows, cols, vals
     dt = np.dtype(dtype)
     f64_safe = dt.kind == "f" or (dt.kind in "iu" and dt.itemsize <= 4)
     if rows.size >= 65536 and f64_safe and rows.min() >= 0:

@@ -683,7 +683,7 @@ _FUSE_MID = _os.environ.get("PYGB_PERM_FUSE_MID", "1") != "0"
 _FUSE_FOLD8 = _os.environ.get("PYGB_PERM_FUSE_FOLD8", "1") != "0"
 # in-kernel (128,128) tile transpose strategy: VPU shuffles (jnp .T) or
 # MXU identity-matmul (dot_general contracting axis 0 against I).
-_MXU_TPOSE = _os.environ.get("PYGB_PERM_MXU_TPOSE", "0") != "0"
+_MXU_TPOSE = _os.environ.get("PYGB_PERM_MXU_TPOSE", "1") != "0"
 
 
 def _tp(y):

@@ -26,21 +26,38 @@ import jax.numpy as jnp
 from ..base import burble
 from .dense import _masked_tree_reduce
 
-WIDTH_CAP = 8192
+WIDTH_CAP = 32768
 
 
 def _csr_of(rows, cols, vals):
-    """rows sorted -> (unique rows, starts, degrees)."""
-    u, s, d = np.unique(rows, return_index=True, return_counts=True)
-    return u, s, d
+    """rows sorted -> (unique rows, starts, degrees).  O(n) run-length
+    scan — np.unique would re-sort the already-sorted rows."""
+    n = len(rows)
+    if n == 0:
+        z = np.empty(0, np.int64)
+        return z, z.copy(), z.copy()
+    newr = np.empty(n, bool)
+    newr[0] = True
+    np.not_equal(rows[1:], rows[:-1], out=newr[1:])
+    s = np.flatnonzero(newr)
+    return rows[s], s, np.diff(np.append(s, n))
 
 
 def _row_lookup(u, s, d, query):
-    """(start, degree) per queried row id, by sorted search — no dense
-    per-dimension arrays, so 2^60 logical dims cost O(nnz) only."""
+    """(start, degree) per queried row id.  Dense O(1) tables when the
+    id space is small; sorted search otherwise (no dense per-dimension
+    arrays, so 2^60 logical dims cost O(nnz) only)."""
     if len(u) == 0:
         z = np.zeros(len(query), np.int64)
         return z, z.copy()
+    hi = int(u[-1]) + 1
+    if hi <= max(1 << 22, 4 * len(u)):
+        st = np.zeros(hi + 1, np.int64)
+        dg = np.zeros(hi + 1, np.int64)
+        st[u] = s
+        dg[u] = d
+        q = np.minimum(query, hi)
+        return st[q], dg[q]
     pos = np.searchsorted(u, query)
     pos_c = np.minimum(pos, len(u) - 1)
     found = (pos < len(u)) & (u[pos_c] == query)
@@ -87,7 +104,11 @@ def _pallas_fill_keys(a_cols2, b_cols2, a_st, wa, b_st, wb, width):
                 wa0_rows.append(a_ref[pl.ds(qa, 1), :])
                 wa1_rows.append(a_ref[pl.ds(qa + 1, 1), :])
                 sha_rows.append(ba - qa * 128)
-                bb = bst + p0 - war
+                # B is laid out REVERSED at the END of the row: lane p
+                # reads B element (width-1-p); the row becomes BITONIC
+                # (A asc | pads asc | B desc), so a log2(width) bitonic
+                # merge replaces the full lane sort downstream.
+                bb = bst + (width - 1 - p0 - 127)
                 qb = jax.lax.clamp(0, bb >> 7, rows_b - 2)
                 wb0_rows.append(b_ref[pl.ds(qb, 1), :])
                 wb1_rows.append(b_ref[pl.ds(qb + 1, 1), :])
@@ -107,12 +128,14 @@ def _pallas_fill_keys(a_cols2, b_cols2, a_st, wa, b_st, wb, width):
             ka = jnp.where(la < 128,
                            jnp.take_along_axis(wa0, la & 127, axis=1),
                            jnp.take_along_axis(wa1, la & 127, axis=1))
-            lb = jax.lax.max(shb + lane, 0)
+            # o = width-1-p decreases with lane: o & 127 = 127 - lane
+            # + (shb base), covered by the same two-window select
+            lb = jax.lax.max(shb + (127 - lane), 0)
             kb = jnp.where(lb < 128,
                            jnp.take_along_axis(wb0, lb & 127, axis=1),
                            jnp.take_along_axis(wb1, lb & 127, axis=1))
             in_a = p < war
-            in_b = jnp.logical_and(p >= war, p < war + wbr)
+            in_b = p >= width - wbr
             o_ref[:, pl.ds(p0, 128)] = jnp.where(
                 in_a, ka * 2, jnp.where(in_b, kb * 2 + 1, sent + 2 * p))
             return 0
@@ -132,18 +155,56 @@ def _pallas_fill_keys(a_cols2, b_cols2, a_st, wa, b_st, wb, width):
         )(a_st, wa, b_st, wb, a_cols2, b_cols2)
 
 
-@partial(jax.jit, static_argnames=("out_dtype", "width"))
-def _bucket_fill_sort_count(a_cols2, b_cols2, a_st, wa, b_st, wb,
-                            out_dtype, width):
-    """Payload-free intersect, one dispatch: Pallas key fill + sort +
+def _bitonic_merge(x):
+    """Sort a batch of BITONIC lanes ascending: log2(W) compare-exchange
+    stages instead of the ~log^2(W)/2 of a full sort — the fill kernel
+    lays each row out ascending-then-descending exactly to enable
+    this."""
+    E, W = x.shape
+    s = W // 2
+    while s >= 1:
+        x4 = x.reshape(E, W // (2 * s), 2, s)
+        lo = jnp.minimum(x4[:, :, 0, :], x4[:, :, 1, :])
+        hi = jnp.maximum(x4[:, :, 0, :], x4[:, :, 1, :])
+        x = jnp.stack([lo, hi], axis=2).reshape(E, W)
+        s //= 2
+    return x
+
+
+def _fill_sort_count_body(a_cols2, b_cols2, a_st, wa, b_st, wb,
+                          out_dtype, width):
+    """Payload-free intersect: Pallas key fill + bitonic merge +
     adjacent-match count (PAIR mul)."""
     out_dtype = np.dtype(out_dtype)
     keys = _pallas_fill_keys(a_cols2, b_cols2, a_st, wa, b_st, wb, width)
-    ks = jax.lax.sort(keys, dimension=1)
+    # merge up to moderate widths: beyond that the unrolled stage chain
+    # costs more XLA compile time than the rare wide bucket saves
+    ks = _bitonic_merge(keys) if width <= 4096 \
+        else jax.lax.sort(keys, dimension=1)
     match = (ks[:, :-1] >> 1) == (ks[:, 1:] >> 1)
     c = jnp.sum(match.astype(out_dtype), axis=1)
     cnt = jnp.sum(match.astype(jnp.int32), axis=1)
     return c, cnt
+
+
+@partial(jax.jit, static_argnames=("out_dtype", "width"))
+def _bucket_fill_sort_count(a_cols2, b_cols2, a_st, wa, b_st, wb,
+                            out_dtype, width):
+    return _fill_sort_count_body(a_cols2, b_cols2, a_st, wa, b_st, wb,
+                                 out_dtype, width)
+
+
+@partial(jax.jit, static_argnames=("out_dtype", "width", "step"))
+def _fill_chunk(a_cols2, b_cols2, a_st, wa, b_st, wb, lo, out_dtype,
+                width, step):
+    """One `step`-edge chunk of a width bucket, sliced ON DEVICE from
+    the whole-bucket scalar arrays: `lo` is a traced argument, so every
+    chunk of every bucket (and every k-truss iteration) reuses the one
+    (step, width) executable, and the host uploads 4 arrays per bucket
+    instead of 4 per chunk."""
+    sl = lambda x: jax.lax.dynamic_slice(x, (lo,), (step,))
+    return _fill_sort_count_body(a_cols2, b_cols2, sl(a_st), sl(wa),
+                                 sl(b_st), sl(wb), out_dtype, width)
 
 
 @partial(jax.jit, static_argnames=("semiring", "out_dtype", "width",
@@ -326,10 +387,17 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
         out[:len(arr)] = arr
         return jnp.asarray(out)
 
-    a_cols_d = _pow2_pad(a_cols, np.int64)
-    a_vals_d = _pow2_pad(a_vals, out_dtype)
-    b_cols_d = _pow2_pad(bt_cols, np.int64)
-    b_vals_d = _pow2_pad(bt_vals, out_dtype)
+    # generic-path operand uploads are LAZY: when every bucket takes the
+    # pair_fast kernel (TC / k-truss), these 4 device_puts never happen
+    _gen_ops = []
+
+    def _generic_operands():
+        if not _gen_ops:
+            _gen_ops.append((_pow2_pad(a_cols, np.int64),
+                             _pow2_pad(a_vals, out_dtype),
+                             _pow2_pad(bt_cols, np.int64),
+                             _pow2_pad(bt_vals, out_dtype)))
+        return _gen_ops[0]
 
     mul0 = semiring.mul_op
     add0 = semiring.add_monoid.binaryop
@@ -357,33 +425,41 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
     def _pow2_len(n, quantum):
         return max(quantum, _next_pow2(n))
 
-    for w in sorted(set(widths[light].tolist())):
-        sel = np.nonzero(light & (widths == w))[0]
+    # every bucket/chunk result stays ON DEVICE; one batched pull at the
+    # end (each per-chunk np.asarray costs a full tunnel round trip,
+    # ~40 ms — the dominant warm-run cost before this batching).  Bucket
+    # membership via one argsort instead of a nonzero() scan per width.
+    parts = []          # (sel indices, pad_len, c_dev, cnt_dev, is_pair)
+    light_idx = np.nonzero(light)[0]
+    worder = np.argsort(widths[light_idx], kind="stable")
+    wsorted = widths[light_idx][worder]
+    wstarts = np.flatnonzero(np.concatenate(
+        [[True], wsorted[1:] != wsorted[:-1]]))
+    for si, s0 in enumerate(wstarts):
+        s1 = wstarts[si + 1] if si + 1 < len(wstarts) else len(wsorted)
+        w = int(wsorted[s0])
+        sel = light_idx[worder[s0:s1]]
         if pair_fast and w >= 128:  # kernel fills whole 128-lane windows
             # chunk: the per-edge scalar arrays live whole in SMEM
             step = min(32768, max(8, (1 << 21) // int(w)) * 8)
-            for lo in range(0, len(sel), step):
-                ss = sel[lo:lo + step]
-                e_pad = _pow2_len(len(ss), 8)
+            npad = -(-len(sel) // step) * step
 
-                def _padded(arr):
-                    out = np.zeros(e_pad, np.int32)
-                    out[:len(ss)] = arr
-                    return jnp.asarray(out)
+            def _bpad(arr):
+                o = np.zeros(npad, np.int32)
+                o[:len(sel)] = arr
+                return jnp.asarray(o)
 
-                c, cnt = _bucket_fill_sort_count(
-                    a_cols2, b_cols2,
-                    _padded(a_st[ss].astype(np.int32)),
-                    _padded(wa[ss].astype(np.int32)),
-                    _padded(b_st[ss].astype(np.int32)),
-                    _padded(wb[ss].astype(np.int32)),
-                    np.dtype(out_dtype).str, int(w))
-                cnt_h = np.asarray(cnt)[:len(ss)]
-                if add_is_plus:
-                    out_vals[ss] = np.asarray(c)[:len(ss)]
-                else:  # idempotent monoid over all-1 products
-                    out_vals[ss] = (cnt_h > 0).astype(out_dtype)
-                out_cnt[ss] = cnt_h
+            ast_b = _bpad(a_st[sel].astype(np.int32))
+            wa_b = _bpad(wa[sel].astype(np.int32))
+            bst_b = _bpad(b_st[sel].astype(np.int32))
+            wb_b = _bpad(wb[sel].astype(np.int32))
+            for lo in range(0, npad, step):
+                c, cnt = _fill_chunk(a_cols2, b_cols2, ast_b, wa_b,
+                                     bst_b, wb_b, lo,
+                                     np.dtype(out_dtype).str, int(w),
+                                     int(step))
+                parts.append((sel[lo:lo + step], step, c, cnt,
+                              True))
             continue
         e_p2 = _pow2_len(len(sel), 8)
 
@@ -397,6 +473,7 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
             o[:len(sel)] = arr
             return jnp.asarray(o)
 
+        a_cols_d, a_vals_d, b_cols_d, b_vals_d = _generic_operands()
         c, cnt = _bucket_build_intersect(
             a_cols_d, a_vals_d, b_cols_d, b_vals_d,
             _pad32(a_st[sel].astype(np.int32)),
@@ -405,8 +482,32 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
             _pad32(wb[sel].astype(np.int32)),
             _pad64(m_rows[sel]), _pad64(m_cols[sel]),
             semiring, out_dtype, int(w), bool(narrow))
-        out_vals[sel] = np.asarray(c)[:len(sel)]
-        out_cnt[sel] = np.asarray(cnt)[:len(sel)]
+        parts.append((sel, e_p2, c, cnt, False))
+
+    if parts:
+        # pair chunks never pull c: the products are all 1, so the PLUS
+        # value IS the int32 match count (and idempotent monoids only
+        # need cnt > 0) — for TC/k-truss the whole result is ONE int32
+        # transfer
+        cnt_all = np.asarray(jnp.concatenate([p[3] for p in parts]))
+        gen_parts = [p for p in parts if not p[4]]
+        c_gen = np.asarray(jnp.concatenate(
+            [p[2].astype(out_dtype) for p in gen_parts])) \
+            if gen_parts else None
+        off = 0
+        goff = 0
+        for ss, pad_len, _c, _n, is_pair_chunk in parts:
+            cnt_h = cnt_all[off:off + len(ss)]
+            if is_pair_chunk:
+                if add_is_plus:
+                    out_vals[ss] = cnt_h.astype(out_dtype)
+                else:   # idempotent monoid over all-1 products
+                    out_vals[ss] = (cnt_h > 0).astype(out_dtype)
+            else:
+                out_vals[ss] = c_gen[goff:goff + len(ss)]
+                goff += pad_len
+            out_cnt[ss] = cnt_h
+            off += pad_len
 
     present = out_cnt > 0
     return (m_rows[present], m_cols[present], out_vals[present])

@@ -44,7 +44,7 @@ MIN_NNZ = 1 << 15
 # content hash (analogous to the reference's .grb binfile caches,
 # gap/prmark.py:48)
 PLAN_CACHE_DIR = os.environ.get("PYGB_PLAN_CACHE", "/tmp/pygb_plans")
-_PLAN_VERSION = 13
+_PLAN_VERSION = 14
 
 _ADDS = {
     "PLUS": (lambda a, b: a + b, "add"),
@@ -238,39 +238,30 @@ class XSpmvPlan:
         src_of_dst[free_dst] = free_src
         p.perm = PermPlan.build(src_of_dst)
 
-        # --- reduction levels + retirement placements ---------------------
-        # level k (k >= 1) folds F_k cells (counts c_k per row) to c_{k+1}
+        # --- reduction levels + single final placement --------------------
+        # level k (k >= 1) folds F_k cells (counts c_k per row) to
+        # c_{k+1} = ceil(c_k/8).  Rows do NOT retire early: a reduced
+        # row rides along as a single-child group (fold identity pads),
+        # so after the last level every present row holds exactly one
+        # cell in row order and ONE placement gather builds y.  The
+        # ride-along cells cost a few extra Mcells of (cheap, small-
+        # span) gather; the per-level placements + full-size wheres
+        # they replace cost more (PERF.md round-4).
         levels = []      # MonoPlan per fold level (slot-major idx into F_k)
-        places = []      # MonoPlan per level: y placement for retiring rows
-        masks = []       # (nrows,) bool per level
         c_k = g_r        # cells per row in F_1
         off_k = gof      # row offsets in F_1
-        while True:
-            retire = c_k == 1
-            pos_y = np.full(nrows, -1, np.int64)
-            pos_y[urows[retire]] = off_k[retire]
-            mask = np.zeros(nrows, bool)
-            mask[urows[retire]] = True
-            places.append(MonoPlan.build(pos_y, int(c_k.sum()),
-                                         dtype.itemsize))
-            masks.append(jnp.asarray(mask))
-            if retire.all():
-                break
-            act = ~retire
+        while len(c_k) and c_k.max() > 1:
             c_n = -(-c_k // 8)
-            c_n_act = c_n[act]
             off_n = np.zeros(len(urows), np.int64)
-            off_n_act = np.zeros(len(c_n_act), np.int64)
-            off_n_act[1:] = np.cumsum(c_n_act)[:-1]
-            off_n[act] = off_n_act
-            m_next = int(c_n_act.sum())
+            off_n[1:] = np.cumsum(c_n)[:-1]
+            m_next = int(c_n.sum())
             m_next_p = -(-m_next // 128) * 128
-            # slot-major child index: child s of group j of active row r is
+            # slot-major child index: child s of group j of row r is
             # F_k[off_k[r] + 8j + s]; groups laid out blockwise: for each
             # block of 128 groups, 8 slot rows of 128.
             gidx = np.full((m_next_p // 128, 8, 128), -1, np.int32)
-            rr = np.repeat(np.arange(len(urows))[act], c_n_act)
-            jj = np.arange(m_next) - np.repeat(off_n_act, c_n_act)
+            rr = np.repeat(np.arange(len(urows)), c_n)
+            jj = np.arange(m_next) - np.repeat(off_n, c_n)
             base = off_k[rr] + 8 * jj
             lim = off_k[rr] + c_k[rr]
             for s in range(8):
@@ -280,13 +271,16 @@ class XSpmvPlan:
                      np.arange(m_next) % 128] = np.where(ok, child, -1)
             levels.append(MonoPlan.build(gidx.reshape(-1),
                                          int(c_k.sum()), dtype.itemsize))
-            # advance: rows remaining are the active ones
-            urows = urows[act]
-            c_k = c_n_act
-            off_k = off_n_act
+            c_k = c_n
+            off_k = off_n
+        # final placement: present row r's value sits at its rank (rows
+        # are 1 cell each after the last level, in row order)
+        pos_y = np.full(nrows, -1, np.int64)
+        pos_y[urows] = off_k
         p.levels = levels
-        p.places = places
-        p.masks = masks
+        p.places = [MonoPlan.build(pos_y, max(1, int(c_k.sum())),
+                                   dtype.itemsize)]
+        p.masks = []
         rp = np.zeros(nrows, bool)
         rp[rows] = True
         p.row_present = jnp.asarray(rp)
@@ -340,14 +334,11 @@ def xspmv(plan, x, semiring, out_dtype, flip_mul=False):
     # pass (perm.apply_fold8): the 8*m1-cell intermediate never reaches
     # HBM, and the XLA strided-slice fold pass disappears.
     acc1, _ = plan.perm.apply_fold8(prod.reshape(-1), fill, fold)
-    f_list = [acc1.reshape(-1)[:plan.m1]]
+    cur = acc1.reshape(-1)[:plan.m1]
     for lp in plan.levels:
-        nxt = mono_gather(lp, f_list[-1].reshape(-1), fill, fold=fold)
-        f_list.append(nxt.reshape(-1))
-    # placements
-    y = jnp.full((plan.nrows,), fill, out_dtype)
-    for pl_plan, mask, fsrc in zip(plan.places, plan.masks, f_list):
-        placed = mono_gather(pl_plan, fsrc.reshape(-1), fill)
-        placed = placed.reshape(-1)[:plan.nrows]
-        y = jnp.where(mask, placed, y)
+        cur = mono_gather(lp, cur.reshape(-1), fill, fold=fold).reshape(-1)
+    # single final placement: every present row holds one cell in row
+    # order after the last level; absent rows read the -1 pad -> fill
+    y = mono_gather(plan.places[0], cur.reshape(-1), fill)
+    y = y.reshape(-1)[:plan.nrows]
     return y, plan.row_present

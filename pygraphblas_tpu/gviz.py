@@ -30,18 +30,28 @@ def _require(modname):
 
 
 def draw_graph(M, name="", rankdir="LR", show_weight=True, concentrate=True,
-               label_vector=None, label_width=None, size_vector=None,
-               size_scale=1.0, filename=None, directed=True, B=None,
+               label_vector=None, label_width=None, label_cmap=None,
+               size_vector=None, size_scale=1.0, min_size=0.1,
+               log_scale=False, filename=None, directed=True, B=None,
+               ioff=0, joff=0, weight_prefix="", edge_cmap=None,
                graph_attr=None, node_attr=None, edge_attr=None):
     """Draw a Matrix as a graphviz node/edge graph.
 
     With `B` given, draw the bipartite/incidence form (hypergraph mode,
-    reference gviz.py:118-123).
+    reference gviz.py:118-123).  Option surface per the reference
+    ``gviz.py:66-123``: `edge_cmap`/`label_cmap` color edges by weight /
+    nodes by label value; `size_vector` scales node widths by
+    `size_scale` with a `min_size` floor, optionally on a `log_scale`;
+    `weight_prefix` prefixes edge labels; `ioff`/`joff` offset node ids.
 
     >>> from pygraphblas_tpu import Matrix
     >>> M = Matrix.from_lists([0, 1], [1, 0], [1, 2])
     >>> g = draw_graph(M)
     >>> 'digraph' in g.source
+    True
+    >>> g2 = draw_graph(M, edge_cmap="viridis", size_vector={0: 2, 1: 3},
+    ...                 log_scale=True, weight_prefix="w=")
+    >>> 'w=' in g2.source
     True
     """
     gv = _require("graphviz")
@@ -52,46 +62,88 @@ def draw_graph(M, name="", rankdir="LR", show_weight=True, concentrate=True,
     if concentrate:
         g.attr(concentrate="true")
 
+    if edge_cmap is not None or label_cmap is not None:
+        plt = _require("matplotlib.pyplot")
+        colors = _require("matplotlib.colors")
+        if edge_cmap is not None:
+            edge_cmap = plt.get_cmap(edge_cmap)
+        if label_cmap is not None:
+            label_cmap = plt.get_cmap(label_cmap)
+        rgb2hex = colors.rgb2hex
+    else:
+        rgb2hex = None
+
+    def _lbl_val(i):
+        if label_vector is None:
+            return None
+        try:
+            return label_vector.get(i)
+        except AttributeError:   # plain list / ndarray
+            return label_vector[i] if i < len(label_vector) else None
+
     def node_label(i):
-        if label_vector is not None:
-            lbl = label_vector.get(i)
-            if lbl is not None:
-                s = str(lbl)
-                return s[:label_width] if label_width else s
+        lbl = _lbl_val(i)
+        if lbl is not None:
+            s = str(lbl)
+            return s[:label_width] if label_width else s
         return str(i)
 
     def node_size(i):
-        if size_vector is not None:
+        if size_vector is None:
+            return None
+        try:
             s = size_vector.get(i)
-            if s is not None:
-                return str(float(s) * size_scale)
-        return None
+        except AttributeError:
+            s = size_vector[i] if i < len(size_vector) else None
+        if s is None:
+            return None
+        from math import log
+
+        sz = max(float(s) * size_scale, min_size)
+        if log_scale:
+            sz = max(log(sz), min_size)
+        return str(sz)
 
     seen = set()
 
-    def add_node(i):
-        if i in seen:
+    def add_node(i, off=0):
+        if (i, off) in seen:
             return
-        seen.add(i)
+        seen.add((i, off))
         attrs = {}
         sz = node_size(i)
         if sz:
             attrs["width"] = sz
-        g.node(str(i), node_label(i), **attrs)
+            attrs["fixedsize"] = "true"
+        if label_cmap is not None:
+            lv = _lbl_val(i)
+            if lv is not None:
+                attrs["color"] = rgb2hex(label_cmap(float(lv)))
+        g.node(str(i + off), node_label(i), **attrs)
+
+    def edge_args(v):
+        attrs = {}
+        if edge_cmap is not None:
+            attrs["color"] = rgb2hex(edge_cmap(float(v)))
+        label = f"{weight_prefix}{v}" if show_weight else None
+        return label, attrs
 
     if B is not None:
         # incidence / hypergraph drawing: M maps nodes->edges, B edges->nodes
         for i, j, v in M:
-            add_node(i)
+            add_node(i, ioff)
             g.node(f"e{j}", shape="point")
-            g.edge(str(i), f"e{j}", label=str(v) if show_weight else None)
+            label, attrs = edge_args(v)
+            g.edge(str(i + ioff), f"e{j}", label=label, **attrs)
         for i, j, v in B:
-            g.edge(f"e{i}", str(j), label=str(v) if show_weight else None)
+            label, attrs = edge_args(v)
+            g.edge(f"e{i}", str(j + joff), label=label, **attrs)
     else:
         for i, j, v in M:
-            add_node(i)
-            add_node(j)
-            g.edge(str(i), str(j), label=str(v) if show_weight else None)
+            add_node(i, ioff)
+            add_node(j, joff)
+            label, attrs = edge_args(v)
+            g.edge(str(i + ioff), str(j + joff), label=label, **attrs)
 
     if filename is not None:
         g.render(filename, format="png", cleanup=True)

@@ -105,6 +105,7 @@ class Matrix:
         "_nvals_c",     # cached host nvals (or None)
         "_host_c",      # cached host (vals, mask) snapshot for bitmap
         "_dev_coo_c",   # cached device COO triples for sparse kernels
+        "_coo_t_c",     # cached transposed canonical COO (host)
         "_ell_c",       # cached degree-binned ELL format per orientation
         "_diag_c",      # known-diagonal flag (constructor-set, cleared on write)
         "_format",      # BY_ROW / BY_COL orientation hint
@@ -124,6 +125,7 @@ class Matrix:
         self._nvals_c = None
         self._host_c = None
         self._dev_coo_c = None
+        self._coo_t_c = None
         self._ell_c = None
         self._diag_c = False
         self._format = config.format
@@ -461,6 +463,7 @@ class Matrix:
         self._nvals_c = None
         self._host_c = None
         self._dev_coo_c = None
+        self._coo_t_c = None
         self._ell_c = None
         self._diag_c = False
 
@@ -538,6 +541,16 @@ class Matrix:
         v, m = self._host_pair()
         r, c = np.nonzero(m)
         return r.astype(np.int64), c.astype(np.int64), v[r, c]
+
+    def _coo_T(self):
+        """Transposed canonical COO (col-major re-sort), cached: mxm
+        needs B^T rows, and iterative algorithms (k-truss) re-multiply
+        the same matrix every round — the re-sort is the single largest
+        host cost of a warm masked SpGEMM."""
+        if self._coo_t_c is None:
+            r, c, v = self._coo()
+            self._coo_t_c = ck.build(c, r, v, v.dtype)
+        return self._coo_t_c
 
     @classmethod
     def _from_parts(cls, typ, nrows, ncols, vals, mask):
@@ -1844,14 +1857,15 @@ class Matrix:
         # A rows (optionally transposed); effective B
         ra, ca, va = self._coo()
         if desc.inp0:
-            ra, ca, va = ck.build(ca, ra, va, va.dtype)
-        rb, cb, vb = other._coo()
-        if desc.inp1:
-            rb, cb, vb = ck.build(cb, rb, vb, vb.dtype)
+            ra, ca, va = self._coo_T()
+        rb, cb, vb = (other._coo_T() if desc.inp1 else other._coo())
         zt = np.dtype(semiring.ztype._numpy_t)
         if mask is not None and not desc.complement:
             mr, mc = self._mask_pair_set(mask, desc)
-            bt_r, bt_c, bt_v = ck.build(cb, rb, vb, vb.dtype)
+            # transpose of the effective B: other itself when inp1
+            # already transposed it
+            bt_r, bt_c, bt_v = (other._coo() if desc.inp1
+                                else other._coo_T())
             r, c, v = gk.masked_spgemm(ra, ca, va, bt_r, bt_c, bt_v,
                                        mr, mc, semiring, zt)
         else:
