@@ -75,7 +75,11 @@ def _watchdog(timeout_s, what):
 def main():
     scale = int(os.environ.get("BENCH_SCALE", "20"))
     edgefactor = int(os.environ.get("BENCH_EDGEFACTOR", "16"))
-    iters = int(os.environ.get("BENCH_ITERS", "50"))
+    # 200 iterations: the remote-tunnel dispatch costs ~30ms per loop
+    # launch, which at 50 iters inflates every per-iter number by
+    # ~0.6ms (20% at the current ~3ms/iter).  The metric is steady-state
+    # SpMV throughput, so amortize the fixed launch cost properly.
+    iters = int(os.environ.get("BENCH_ITERS", "200"))
 
     _enable_compile_cache()
     import jax
@@ -110,13 +114,15 @@ def main():
           "(minutes when /tmp/pygb_plans is cold)...")
 
     # whole-loop-fused PageRank: the iteration loop is a single XLA
-    # executable over the cached plan (fused.py); tol=0 forces exactly
-    # `iters` iterations for a clean nnz/s measurement.  The first run
+    # executable over the cached plan (fused.py); tol=-1 forces exactly
+    # `iters` iterations for a clean nnz/s measurement (fp32 PageRank
+    # reaches an EXACT fixpoint near iter ~75, so tol=0's rdiff>0 exit
+    # fires early and would inflate the per-iteration metric).  The first run
     # pays one-time plan/compile/transfer costs; report the best of
     # three steady-state runs.
     def timed():
         start = time.perf_counter()
-        r = fused.pagerank(A, itermax=iters, tol=0.0)
+        r = fused.pagerank(A, itermax=iters, tol=-1.0)
         float(jnp.sum(r._vals))  # hard sync through the host
         return time.perf_counter() - start
 

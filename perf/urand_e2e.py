@@ -61,7 +61,7 @@ def main():
 
     def timed_pr():
         t0 = time.perf_counter()
-        r = fused.pagerank(A, itermax=args.iters, tol=0.0)
+        r = fused.pagerank(A, itermax=args.iters, tol=-1.0)
         float(jnp.sum(r._vals))
         return time.perf_counter() - t0, r
 

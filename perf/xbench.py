@@ -42,7 +42,7 @@ def timed_loop(fn, plan, x0, iters, name):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--scale", type=int, default=20)
-    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--iters", type=int, default=200)
     args = p.parse_args()
 
     import jax

@@ -197,6 +197,12 @@ class GlobalConfig:
     # floating-point reduction, so repeated calls are not bit-identical
     # while the build is in flight.
     spmv_plan_async: bool = False
+    # Sparse (COO-tier) eWise/select engine: "auto" runs the sort-based
+    # device pipeline (core/dewise.py) when the combined nnz reaches
+    # ewise_device_min and the coordinates/dtypes qualify, else the host
+    # single-pass merges (core/coosem.py); "device"/"host" force a tier.
+    ewise_engine: str = "auto"
+    ewise_device_min: int = 1 << 21
 
 
 config = GlobalConfig()
@@ -216,6 +222,8 @@ def options_set(
     spgemm_engine=None,
     spgemm_dense_cells=None,
     spmv_plan_async=None,
+    ewise_engine=None,
+    ewise_device_min=None,
 ):
     """Set global library options.
 
@@ -259,6 +267,12 @@ def options_set(
         config.spgemm_dense_cells = int(spgemm_dense_cells)
     if spmv_plan_async is not None:
         config.spmv_plan_async = bool(spmv_plan_async)
+    if ewise_engine is not None:
+        if ewise_engine not in ("auto", "device", "host"):
+            raise ValueError("ewise_engine must be auto|device|host")
+        config.ewise_engine = ewise_engine
+    if ewise_device_min is not None:
+        config.ewise_device_min = int(ewise_device_min)
 
 
 def options_get():

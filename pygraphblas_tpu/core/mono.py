@@ -340,6 +340,133 @@ def _mono_pallas_span(plan, src, fill, vals, mul, fold):
         )(*args)
 
 
+def mono_cascade(levels, place, src, fill, fold):
+    """Fused reduction cascade: every fold level AND the final row
+    placement in ONE Pallas launch, with all intermediates in VMEM
+    scratch.
+
+    The per-level mono_gather chain pays a fixed ~0.1 ms of launch/DMA
+    setup per level on the real chip while each level's data is tiny
+    (the cascade works on <= nnz/8 cells); at 5 levels + placement that
+    overhead dominated the whole cascade (PERF.md round-4).  Here the
+    levels run back-to-back inside one kernel: level l reads level
+    l-1's scratch buffer with the same group-span windows the span
+    kernel uses, folds 8 slot rows, and writes its own scratch; the
+    placement pass gathers the final single-cell rows into the output.
+
+    Returns the placed (S, 128) array, or None when the fused kernel
+    does not apply (CPU backend, 64-bit dtypes, streaming plans, or
+    VMEM budget) — callers fall back to the per-level chain.
+    """
+    if not levels:
+        return None
+    if not _on_tpu() and not _FORCE_INTERPRET:
+        return None
+    dtype = src.dtype
+    if dtype.itemsize > 4:
+        return None
+    plans = list(levels) + [place]
+    for p in plans:
+        if (not p.ok) or p.stream or p.wva == 0:
+            return None
+    isz = dtype.itemsize
+    # scratch buffer l holds level l's folded output plus the pad rows
+    # the NEXT plan's window slices may overrun into
+    scratch_rows = []
+    budget = (levels[0].src_rows + levels[0].wva + 2) * 128 * isz
+    for l, p in enumerate(levels):
+        out_rows = p.S // 8
+        scratch_rows.append(out_rows + plans[l + 1].wva + 2)
+        budget += scratch_rows[-1] * 128 * isz
+    for p in plans:
+        budget += p.dm.size * p.dm.dtype.itemsize + p.qg.size * 4
+    budget += place.S * 128 * isz
+    if budget > (90 << 20):
+        return None
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L = len(levels)
+    fillv = np.dtype(dtype).type(fill)
+    src2 = _pad_rows(src, levels[0].src_rows + levels[0].wva + 2)
+
+    def kern(*refs):
+        qgs = refs[:L + 1]
+        dms = refs[L + 1:2 * (L + 1)]
+        x_ref = refs[2 * (L + 1)]
+        out_ref = refs[2 * (L + 1) + 1]
+        scr = refs[2 * (L + 1) + 2:]
+
+        def run_level(l, src_ref, dst_ref, folded):
+            qg_ref, dm_ref = qgs[l], dms[l]
+            wva = plans[l].wva
+            n_groups = plans[l].S // 8
+            # 8 groups per loop step, statically unrolled: a serial
+            # one-group-per-step fori_loop is a dependency chain the VPU
+            # can't pipeline (same reason _SPAN_UNROLL defaults on)
+            U = 8
+
+            def do_group(g, u, c):
+                g = g.astype(jnp.int32) * U + u
+                s0 = g * 8
+                dmg = dm_ref[pl.ds(s0, 8), :].astype(jnp.int32)
+                win = src_ref[pl.ds(qg_ref[g], wva), :]
+                sb = dmg >> 7
+                ln = jnp.bitwise_and(dmg, 127)
+                acc = jnp.full((8, 128), fillv, dtype)
+                for k in range(wva):
+                    gsel = jnp.take_along_axis(
+                        jnp.broadcast_to(win[k:k + 1, :], (8, 128)), ln,
+                        axis=1)
+                    acc = jnp.where(sb == k, gsel, acc)
+                if folded:
+                    r = acc[0:1, :]
+                    for k in range(1, 8):
+                        r = fold(r, acc[k:k + 1, :])
+                    dst_ref[pl.ds(g, 1), :] = r
+                else:
+                    dst_ref[pl.ds(s0, 8), :] = acc
+                return c
+
+            def do_chunk(i, c):
+                for u in range(U):
+                    do_group(i, u, c)
+                return c
+
+            jax.lax.fori_loop(0, n_groups // U, do_chunk, 0)
+
+        with jax.enable_x64(False):
+            for l in range(L):
+                # zero the window-overrun pad tail before the next plan
+                # reads it (scratch memory is uninitialized)
+                pad0 = plans[l].S // 8
+                scr[l][pl.ds(pad0, scratch_rows[l] - pad0), :] = jnp.full(
+                    (scratch_rows[l] - pad0, 128), fillv, dtype)
+                run_level(l, x_ref if l == 0 else scr[l - 1], scr[l], True)
+            run_level(L, scr[L - 1], out_ref, False)
+
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in plans]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in plans]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)])
+    args = [p.qg for p in plans] + [p.dm for p in plans] + [src2]
+    with jax.enable_x64(False):  # index maps / shapes trace 32-bit
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((place.S, 128), dtype),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((r, 128), dtype)
+                            for r in scratch_rows],
+            # the whole cascade is deliberately VMEM-resident; the
+            # default 16 MB scoped-vmem budget is for tiled kernels
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 << 20),
+            interpret=_FORCE_INTERPRET,
+        )(*args)
+
+
 def _mono_pallas(plan, src, fill, vals, mul, fold):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

@@ -552,13 +552,22 @@ def _lane_gather(x2d, idx8):
     )(idx8, x2d)
 
 
+import os as _os
+_TILE_B = int(_os.environ.get("PYGB_PERM_TILE_B", "64"))
+
+
 def _pick_tile_batch(rb):
     """Tile-batch per grid step: a divisor of rb that satisfies the TPU
     block rule for the (…, B, 128) output spec — B % 8 == 0 or B == rb.
     Returns None when no such batch exists (callers fall back to the
-    unfused gather + XLA transpose)."""
-    for b in (16, 8):
-        if rb % b == 0:
+    unfused gather + XLA transpose).
+
+    Larger batches amortize grid-step overhead and lengthen DMAs; VMEM
+    per step is ~B*176KB (x tile + out tile + int8 idx), so B=64 uses
+    ~11 MB of the 128 MB VMEM.  B=64 measured fastest on v5e (PERF.md
+    round-4 notes); PYGB_PERM_TILE_B re-tunes."""
+    for b in (_TILE_B, 32, 16, 8):
+        if b and rb % b == 0:
             return b
     if rb <= 16:
         return rb          # whole-array block: exempt from the 8-rule
@@ -606,6 +615,10 @@ def _lane_gather_tdesc(x2d, idx8, g, r_l):
             out_specs=pl.BlockSpec((1, 128, B, 128),
                                    lambda gi, bb: (gi, 0, bb, 0),
                                    memory_space=pltpu.VMEM),
+            # B=64 double-buffered tiles need ~18MB; the default scoped
+            # budget is 16MB
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=48 << 20),
         )(i4, x4)
     return out.reshape(g * 128 * rb, 128)
 
@@ -668,6 +681,8 @@ def _lane_gather_tasc(x2d, idx8, g, r_l, fold8=None):
             out_specs=pl.BlockSpec((1, B, out_tile, 128),
                                    lambda gi, bb: (gi, bb, 0, 0),
                                    memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=48 << 20),
         )(i4, x4)
     return out.reshape(g * r_l * out_tile // 128, 128)
 

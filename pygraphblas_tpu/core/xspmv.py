@@ -33,7 +33,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .mono import MonoPlan, mono_gather
+from .mono import MonoPlan, mono_gather, mono_cascade
 from .perm import PermPlan
 
 # build cost is significant (seconds): only worth it on the hot path
@@ -335,6 +335,12 @@ def xspmv(plan, x, semiring, out_dtype, flip_mul=False):
     # HBM, and the XLA strided-slice fold pass disappears.
     acc1, _ = plan.perm.apply_fold8(prod.reshape(-1), fill, fold)
     cur = acc1.reshape(-1)[:plan.m1]
+    # fused cascade: all fold levels + the final placement in ONE
+    # launch (per-level launches cost ~0.1 ms each on tiny data —
+    # PERF.md round-4); None -> per-level chain (CPU, odd shapes)
+    y2d = mono_cascade(plan.levels, plan.places[0], cur, fill, fold)
+    if y2d is not None:
+        return y2d.reshape(-1)[:plan.nrows], plan.row_present
     for lp in plan.levels:
         cur = mono_gather(lp, cur.reshape(-1), fill, fold=fold).reshape(-1)
     # single final placement: every present row holds one cell in row

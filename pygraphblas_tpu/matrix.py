@@ -59,6 +59,7 @@ from .scalar import Scalar
 from .core import dense as dk
 from .core import coosparse as ck
 from .core import coosem as cs
+from .core import dewise as dw
 
 __all__ = ["Matrix"]
 
@@ -1292,8 +1293,10 @@ class Matrix:
         return self._writeback(out, tv, tm, mask, accum, desc)
 
     def _ewise_huge(self, other, op, out, mask, accum, desc, union):
-        """Element-wise union/intersection on huge COO matrices (host
-        sorted-merge, O(nnz log nnz)), full mask/accum semantics."""
+        """Element-wise union/intersection on huge COO matrices, full
+        mask/accum semantics.  Large numeric inputs run the sort-based
+        device engine (core/dewise.py); the rest take the host native
+        single-pass merges (core/coosparse.py)."""
         ra, ca, va = self._coo()
         if desc.inp0:
             ra, ca, va = ck.build(ca, ra, va, va.dtype)
@@ -1301,6 +1304,31 @@ class Matrix:
         if desc.inp1:
             rb, cb, vb = ck.build(cb, rb, vb, vb.dtype)
         dt = out.type._numpy_t
+
+        dtk = np.dtype(dt)
+        if (getattr(op, "udt", None) is None
+                and getattr(op, "positional", None) is None
+                and op.ztype_rule not in ("CMPLX",)
+                and dtk.kind in "biuf"):
+            max_r = int(max(ra[-1] if len(ra) else 0,
+                            rb[-1] if len(rb) else 0))
+            max_c = int(max(ca.max() if len(ca) else 0,
+                            cb.max() if len(cb) else 0))
+            if op.ztype_rule == "BOOL":
+                cdt = np.promote_types(va.dtype, vb.dtype)
+            else:
+                cdt = dtk
+            if cdt.kind in "biuf" and dw.eligible(
+                    len(ra), len(rb), max_r, max_c, cdt, dt):
+                from .base import burble
+
+                burble("ewise: device sort engine (%d + %d nnz)",
+                       len(ra), len(rb))
+                r, c, v = dw.ewise(
+                    ra, ca, va, rb, cb, vb, op.apply,
+                    (op, cdt.str, dtk.str), cdt, dtk, union=union)
+                return self._coo_writeback(out, r, c, v, mask, accum,
+                                           desc)
 
         def fn(x, y):
             if getattr(op, "udt", None) is not None:
@@ -1533,6 +1561,20 @@ class Matrix:
             r, c, v = self._coo()
             if desc.inp0:
                 r, c, v = ck.build(c, r, v, v.dtype)
+            max_r = int(r[-1]) if len(r) else 0
+            max_c = int(c.max()) if len(c) else 0
+            if (v.dtype.kind in "biuf" and getattr(op, "fn", None)
+                    is not None and dw.eligible(
+                        len(r), 0, max_r, max_c, v.dtype, v.dtype)):
+                # device sort-compaction keeps the whole predicate +
+                # stream compaction on chip (reference: GxB_select,
+                # matrix.py:2136)
+                burble("select: device sort engine (%d nnz)", len(r))
+                r2, c2, v2 = dw.select(r, c, v, op.apply,
+                                       (op, v.dtype.str), thunk)
+                return self._coo_writeback(
+                    out, r2, c2, v2.astype(out.type._numpy_t),
+                    mask, accum, desc)
             keep = np.asarray(op.apply(jnp.asarray(r), jnp.asarray(c),
                                        jnp.asarray(v), thunk))
             return self._coo_writeback(

@@ -417,11 +417,31 @@ class Vector:
         self._set_coo(nr, nv)
 
     def _ewise_huge(self, other, op, out, mask, accum, desc, union):
-        """Element-wise union/intersection on huge vectors (host
-        sorted-merge), full mask/accum semantics."""
+        """Element-wise union/intersection on huge vectors: device
+        sort engine (core/dewise.py) for large numeric inputs, host
+        sorted-merge otherwise; full mask/accum semantics."""
+        from .core import dewise as dw
+
         ia, va = self._coo()
         ib, vb = other._coo()
         dt = out.type._numpy_t
+        dtk = np.dtype(dt)
+
+        if (getattr(op, "udt", None) is None
+                and getattr(op, "positional", None) is None
+                and op.ztype_rule not in ("CMPLX",)
+                and dtk.kind in "biuf"):
+            max_i = int(max(ia[-1] if len(ia) else 0,
+                            ib[-1] if len(ib) else 0))
+            cdt = (np.promote_types(va.dtype, vb.dtype)
+                   if op.ztype_rule == "BOOL" else dtk)
+            if cdt.kind in "biuf" and dw.eligible(
+                    len(ia), len(ib), max_i, 0, cdt, dtk):
+                r, _, v = dw.ewise(
+                    ia, np.zeros_like(ia), va, ib, np.zeros_like(ib),
+                    vb, op.apply, (op, cdt.str, dtk.str), cdt, dtk,
+                    union=union)
+                return self._coo_writeback(out, r, v, mask, accum, desc)
 
         def fn(x, y):
             if getattr(op, "udt", None) is not None:

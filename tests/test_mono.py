@@ -112,3 +112,69 @@ def test_span_interpret_kernel_matches_perrow(monkeypatch):
     got_f = np.asarray(mono_gather(plans, src, 0.0,
                                    fold=lambda a, b: a + b))
     assert np.allclose(got_f, want_f, rtol=1e-5)
+
+
+def _cascade_case(max_deg=3000, n=6000, nnz=60000, seed=3):
+    """An XSpmvPlan with a multi-level fold cascade (skewed degrees)."""
+    from pygraphblas_tpu.core.xspmv import XSpmvPlan
+
+    rng = np.random.RandomState(seed)
+    # skewed rows: a few very heavy rows force >= 3 cascade levels
+    heavy = rng.randint(0, 50, nnz // 2)
+    light = rng.randint(0, n, nnz - nnz // 2)
+    rows = np.concatenate([heavy, light])
+    cols = rng.randint(0, n, nnz)
+    key = rows * n + cols
+    key = np.unique(key)
+    rows, cols = key // n, key % n
+    vals = rng.rand(len(rows)).astype(np.float32)
+    plan = XSpmvPlan._build(rows, cols, vals, n, n, np.dtype(np.float32))
+    assert len(plan.levels) >= 2
+    return plan
+
+
+def test_mono_cascade_interpret_matches_chain(monkeypatch):
+    """The fused cascade kernel (all fold levels + placement in one
+    pallas_call) equals the per-level mono_gather chain."""
+    from pygraphblas_tpu.core import mono
+
+    plan = _cascade_case()
+    rng = np.random.RandomState(7)
+    cur0 = jnp.asarray(rng.rand(plan.m1).astype(np.float32))
+    fold = lambda a, b: a + b
+
+    cur = cur0
+    for lp in plan.levels:
+        cur = mono_gather(lp, cur.reshape(-1), 0.0,
+                          fold=fold).reshape(-1)
+    want = np.asarray(mono_gather(plan.places[0], cur.reshape(-1),
+                                  0.0)).reshape(-1)[:plan.nrows]
+
+    monkeypatch.setattr(mono, "_FORCE_INTERPRET", True)
+    got2d = mono.mono_cascade(plan.levels, plan.places[0], cur0, 0.0, fold)
+    assert got2d is not None
+    got = np.asarray(got2d).reshape(-1)[:plan.nrows]
+    assert np.allclose(got, want, rtol=1e-5)
+
+
+def test_mono_cascade_min_fold(monkeypatch):
+    """Non-PLUS monoid (MIN with +inf identity) through the cascade."""
+    from pygraphblas_tpu.core import mono
+
+    plan = _cascade_case(seed=11)
+    rng = np.random.RandomState(13)
+    cur0 = jnp.asarray(rng.rand(plan.m1).astype(np.float32))
+    fold = jnp.minimum
+    inf = np.float32(np.inf)
+
+    cur = cur0
+    for lp in plan.levels:
+        cur = mono_gather(lp, cur.reshape(-1), inf, fold=fold).reshape(-1)
+    want = np.asarray(mono_gather(plan.places[0], cur.reshape(-1),
+                                  inf)).reshape(-1)[:plan.nrows]
+
+    monkeypatch.setattr(mono, "_FORCE_INTERPRET", True)
+    got2d = mono.mono_cascade(plan.levels, plan.places[0], cur0, inf, fold)
+    assert got2d is not None
+    got = np.asarray(got2d).reshape(-1)[:plan.nrows]
+    assert np.allclose(got, want, rtol=1e-5)
