@@ -292,15 +292,30 @@ def bench_extras():
             rows, cols, n = rmat_edges(scale, 16)
             np.savez(cache, rows=rows, cols=cols, n=n)
         A = to_matrix(rows, cols, n, types.BOOL)
+        # GAP protocol: multiple source trials per graph.  Batching the
+        # trials into one executable amortizes the ~30ms per-dispatch
+        # tunnel latency that otherwise dominates a ~10ms traversal.
+        K = int(os.environ.get("BENCH_BFS_SOURCES", "16"))
+        srcs = list(range(K))
         t0 = time.perf_counter()
-        lv = fused.bfs_level(A, 0)
-        float(jnp.sum(lv._vals))
+        lvb = fused.bfs_batch(A, srcs)
+        float(jnp.sum(lvb))
         t_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        lvb = fused.bfs_batch(A, srcs)
+        float(jnp.sum(lvb))
+        t_warm = time.perf_counter() - t0
+        # integrity: trial 0 of the batch == the single-source loop
+        lv0 = fused.bfs_level(A, 0)
+        ok = bool(jnp.array_equal(
+            lvb[0], jnp.asarray(lv0.to_numpy(), lvb.dtype)))
         t0 = time.perf_counter()
         lv = fused.bfs_level(A, 1)
         float(jnp.sum(lv._vals))
-        t_warm = time.perf_counter() - t0
-        return {"edges_per_s": len(rows) / t_warm, "first_s": t_first,
+        t_single = time.perf_counter() - t0
+        return {"edges_per_s": K * len(rows) / t_warm,
+                "single_dispatch_s": t_single, "sources": K,
+                "batch_matches_single": ok, "first_s": t_first,
                 "scale": scale}
 
     run("bfs_fused_kron", 120, _bfs)

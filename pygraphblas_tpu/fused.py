@@ -258,6 +258,51 @@ def bfs_level(A, start):
     return out
 
 
+def bfs_batch(A, sources):
+    """Batched whole-loop BFS: ONE executable runs a full BFS from each
+    source in sequence on device (the GAP benchmark protocol runs 64
+    source trials per graph; batching them amortizes the per-dispatch
+    launch latency that dominates a single ~10ms traversal).
+
+    Returns an int32 (K, n) device array of 1-based levels (0 =
+    unreached).  Reference workload: SURVEY §3.3 / gap BFS."""
+    n = A.nrows
+    sem = types.FP32.MAX_SECOND
+    if not _xspmv_ok(A, sem, np.float32):
+        return jnp.stack([
+            jnp.asarray(bfs_level(A, int(s)).to_numpy(), jnp.int32)
+            for s in np.asarray(sources)])
+    plan = A._xspmv_plan(True, np.float32)
+    key = "fused_bfs_batch"
+    if key not in A._ell_c:
+        @jax.jit
+        def batch(plan, srcs):
+            def one(start):
+                lv = jnp.zeros((n,), jnp.int32)
+                frontier = jnp.zeros((n,), jnp.float32).at[start].set(1.0)
+
+                def cond(carry):
+                    lv, frontier, level = carry
+                    return jnp.logical_and(jnp.any(frontier > 0),
+                                           level <= n)
+
+                def body(carry):
+                    lv, frontier, level = carry
+                    lv = jnp.where(frontier > 0, level, lv)
+                    nxt, _ = xs.xspmv(plan, frontier, sem, np.float32)
+                    nxt = jnp.where(lv == 0, jnp.maximum(nxt, 0.0), 0.0)
+                    return lv, nxt, level + 1
+
+                lv, _, _ = jax.lax.while_loop(
+                    cond, body, (lv, frontier, jnp.int32(1)))
+                return lv
+
+            return jax.lax.map(one, srcs)
+
+        A._ell_c[key] = batch
+    return A._ell_c[key](plan, jnp.asarray(sources, jnp.int32))
+
+
 @partial(jax.jit, static_argnames=("n", "n_blocks"))
 def _sssp_loop(plan_cols, plan_vals, levels, final_src, n_blocks, n, start):
     dt = plan_vals.dtype

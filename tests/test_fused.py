@@ -91,3 +91,17 @@ def test_fused_bc_matches_eager():
     wv = np.where(np.asarray(wm), np.asarray(wv), 0.0)
     gv = np.where(np.asarray(gm), np.asarray(gv), 0.0)
     assert np.allclose(wv, gv, rtol=1e-4, atol=1e-4), np.abs(wv - gv).max()
+
+
+def test_bfs_batch_matches_single():
+    rng = np.random.RandomState(5)
+    n = 500
+    nnz = 40000
+    key = np.unique(rng.randint(0, n, nnz) * n + rng.randint(0, n, nnz))
+    I, J = key // n, key % n
+    A = Matrix.sparse(types.FP32, n, n)
+    A._build(I, J, np.ones(len(I), np.float32))
+    lvb = np.asarray(fused.bfs_batch(A, [0, 3, 7]))
+    for k, s in enumerate([0, 3, 7]):
+        want = fused.bfs_level(A, s).to_numpy()
+        assert np.array_equal(lvb[k], want.astype(lvb.dtype))
