@@ -226,6 +226,10 @@ class Matrix:
           0|  3  3|  0
           1|  3  3|  1
               0  1
+        >>> M.nvals
+        4
+        >>> M.type == types.INT64
+        True
         """
         if nrows is None:
             nrows = GxB_INDEX_MAX
@@ -289,7 +293,18 @@ class Matrix:
 
     @classmethod
     def from_mm(cls, mm_file):
-        """Create from a MatrixMarket file or file-like object."""
+        """Create from a MatrixMarket file or file-like object.
+
+        >>> import io
+        >>> mm = io.StringIO(
+        ...     "%%MatrixMarket matrix coordinate integer general\\n"
+        ...     "2 2 2\\n1 2 7\\n2 1 9\\n")
+        >>> print(Matrix.from_mm(mm))
+              0  1
+          0|     7|  0
+          1|  9   |  1
+              0  1
+        """
         from .io.mm import read_mm
 
         I, J, V, nrows, ncols, typ = read_mm(mm_file)
@@ -299,13 +314,31 @@ class Matrix:
 
     @classmethod
     def from_tsv(cls, tsv_file, typ, nrows, ncols, **kwargs):
-        """Create from a TSV file with a header line."""
+        """Create from a TSV file with a header line.
+
+        >>> import io
+        >>> f = io.StringIO("1\\t2\\t7\\n2\\t1\\t9\\n")
+        >>> print(Matrix.from_tsv(f, types.INT64, 2, 2))
+              0  1
+          0|     7|  0
+          1|  9   |  1
+              0  1
+        """
         return cls.from_csv(tsv_file, typ, nrows, ncols, delimiter="\t", **kwargs)
 
     @classmethod
     def from_csv(cls, csv_file, typ, nrows, ncols, one_based=True,
                  delimiter=",", **reader_args):
-        """Create from a CSV file of `row, col, val` lines."""
+        """Create from a CSV file of `row, col, val` lines.
+
+        >>> import io
+        >>> f = io.StringIO("1,2,7\\n2,1,9\\n")
+        >>> print(Matrix.from_csv(f, types.INT64, 2, 2))
+              0  1
+          0|     7|  0
+          1|  9   |  1
+              0  1
+        """
         import csv as csv_module
 
         if isinstance(csv_file, (str, Path)):
@@ -337,7 +370,15 @@ class Matrix:
 
     @classmethod
     def binread(cls, bin_file, opener=Path.open):
-        """Load a Matrix from a binary checkpoint written by `binwrite`."""
+        """Load a Matrix from a binary checkpoint written by `binwrite`.
+
+        >>> import tempfile, os
+        >>> M = Matrix.from_lists([0, 1], [1, 0], [7, 9])
+        >>> path = os.path.join(tempfile.mkdtemp(), "m.binfile")
+        >>> M.binwrite(path)
+        >>> Matrix.binread(path).iseq(M)
+        True
+        """
         from .io.binfile import binread as _binread
 
         return _binread(cls, bin_file, opener)
@@ -448,7 +489,15 @@ class Matrix:
 
     @classmethod
     def from_numpy(cls, arr):
-        """Create a dense-pattern Matrix from a 2-D numpy array."""
+        """Create a dense-pattern Matrix from a 2-D numpy array.
+
+        >>> import numpy as np
+        >>> print(Matrix.from_numpy(np.array([[1, 2], [3, 4]])))
+              0  1
+          0|  1  2|  0
+          1|  3  4|  1
+              0  1
+        """
         arr = np.asarray(arr)
         typ = types.MetaType._dtype_type_map[arr.dtype.type]
         out = cls.sparse(typ, arr.shape[0], arr.shape[1])
@@ -656,7 +705,12 @@ class Matrix:
 
     @property
     def gb_type(self):
-        """Return the GraphBLAS type object of the Matrix."""
+        """Return the GraphBLAS type object of the Matrix.
+
+        >>> M = Matrix.sparse(types.FP32, 2, 2)
+        >>> M.gb_type == types.FP32
+        True
+        """
         return self.type
 
     @property
@@ -671,7 +725,11 @@ class Matrix:
 
     @property
     def ncols(self):
-        """Number of columns."""
+        """Number of columns.
+
+        >>> Matrix.sparse(types.INT8, 3, 5).ncols
+        5
+        """
         return self._ncols
 
     @property
@@ -686,7 +744,13 @@ class Matrix:
 
     @property
     def square(self):
-        """True if the Matrix is square."""
+        """True if the Matrix is square.
+
+        >>> Matrix.sparse(types.INT8, 3, 3).square
+        True
+        >>> Matrix.sparse(types.INT8, 3, 5).square
+        False
+        """
         return self._nrows == self._ncols
 
     @property
@@ -707,7 +771,12 @@ class Matrix:
 
     @property
     def memory_usage(self):
-        """Bytes used by this matrix's storage."""
+        """Bytes used by this matrix's storage.
+
+        >>> M = Matrix.from_lists([0, 1], [1, 0], [7, 9])
+        >>> M.memory_usage > 0
+        True
+        """
         self._flush()
         if self._fmt == "coo":
             return (self._rows_h.nbytes + self._cols_h.nbytes
@@ -716,22 +785,52 @@ class Matrix:
 
     @property
     def T(self):
-        """Transposed copy (see `Matrix.transpose`)."""
+        """Transposed copy (see `Matrix.transpose`).
+
+        >>> M = Matrix.from_lists([0, 0], [0, 1], [1, 2])
+        >>> print(M.T)
+              0
+          0|  1|  0
+          1|  2|  1
+              0
+        """
         return self.transpose()
 
     @property
     def M(self):
-        """The pattern mask of this matrix; see `Matrix.pattern`."""
+        """The pattern mask of this matrix; see `Matrix.pattern`.
+
+        >>> M = Matrix.from_lists([0, 1], [1, 0], [7, 9])
+        >>> print(M.M)
+              0  1
+          0|     t|  0
+          1|  t   |  1
+              0  1
+        """
         return self.pattern()
 
     @property
     def S(self):
-        """The structure of this matrix; same as `Matrix.pattern()`."""
+        """The structure of this matrix; same as `Matrix.pattern()`.
+
+        >>> M = Matrix.from_lists([0, 1], [1, 0], [7, 9])
+        >>> print(M.S)
+              0  1
+          0|     t|  0
+          1|  t   |  1
+              0  1
+        """
         return self.pattern()
 
     @property
     def hyper_switch(self):
-        """Hypersparsity switching threshold (parity knob)."""
+        """Hypersparsity switching threshold (parity knob).
+
+        >>> M = Matrix.sparse(types.INT8, 2, 2)
+        >>> M.hyper_switch = 0.5
+        >>> M.hyper_switch
+        0.5
+        """
         return self._hyper_switch
 
     @hyper_switch.setter
@@ -740,7 +839,11 @@ class Matrix:
 
     @property
     def format(self):
-        """Storage orientation: BY_ROW (0) or BY_COL (1)."""
+        """Storage orientation: BY_ROW (0) or BY_COL (1).
+
+        >>> Matrix.sparse(types.INT8, 2, 2).format
+        0
+        """
         return self._format
 
     @format.setter
@@ -750,7 +853,15 @@ class Matrix:
     @property
     def sparsity(self):
         """Sparsity control (GxB parity: 1=hyper 2=sparse 4=bitmap 8=full,
-        15=auto)."""
+        15=auto).
+
+        >>> M = Matrix.sparse(types.INT8, 2, 2)
+        >>> M.sparsity
+        15
+        >>> M.sparsity = 4
+        >>> M.sparsity
+        4
+        """
         return self._sparsity
 
     @sparsity.setter
@@ -760,7 +871,11 @@ class Matrix:
     @property
     def sparsity_status(self):
         """Current physical format: 1=hypersparse, 2=sparse, 4=bitmap,
-        8=full."""
+        8=full.
+
+        >>> Matrix.from_lists([0, 1], [1, 0], [7, 9]).sparsity_status
+        4
+        """
         self._flush()
         if self._fmt == "coo":
             return 1
@@ -779,6 +894,12 @@ class Matrix:
           1|        t|  1
           2|  t      |  2
               0  1  2
+        >>> print(Matrix.from_lists([0, 1], [1, 0], [7, 9]).pattern(
+        ...     types.INT8))
+              0  1
+          0|     1|  0
+          1|  1   |  1
+              0  1
         """
         if out is None:
             out = Matrix.sparse(typ, self.nrows, self.ncols)
@@ -851,7 +972,14 @@ class Matrix:
         self._build(r[keep], c[keep], v[keep])
 
     def wait(self):
-        """Barrier: complete all pending work on this Matrix."""
+        """Barrier: complete all pending work on this Matrix.
+
+        >>> M = Matrix.sparse(types.INT64, 2, 2)
+        >>> M[0, 1] = 7
+        >>> M.wait()
+        >>> M.nvals
+        1
+        """
         self._flush()
         if self._fmt == "bitmap":
             self._vals.block_until_ready()
@@ -861,6 +989,25 @@ class Matrix:
     # ------------------------------------------------------------------
 
     def __setitem__(self, index, value):
+        """Write an element, row, column, or region.
+
+        >>> A = Matrix.sparse(types.INT64, 3, 3)
+        >>> A[0, 1] = 7
+        >>> A[2] = Vector.from_list([1, 2, 3])
+        >>> print(A)
+              0  1  2
+          0|     7   |  0
+          1|         |  1
+          2|  1  2  3|  2
+              0  1  2
+        >>> A[:, 0] = Vector.from_list([9, 9, 9])
+        >>> print(A)
+              0  1  2
+          0|  9  7   |  0
+          1|  9      |  1
+          2|  9  2  3|  2
+              0  1  2
+        """
         if _is_int(index):
             if _is_scalar(value):
                 return self.assign_scalar(value, index)
@@ -908,6 +1055,21 @@ class Matrix:
         raise TypeError
 
     def __getitem__(self, index):
+        """Read an element, row, column, or submatrix.
+
+        >>> A = Matrix.from_lists([0, 1, 2], [1, 2, 0], [1, 2, 3])
+        >>> A[0, 1]
+        1
+        >>> print(A[:, 2])
+        0|
+        1| 2
+        2|
+        >>> print(A[0:1, :])
+              0  1  2
+          0|     1   |  0
+          1|        2|  1
+              0  1  2
+        """
         if _is_int(index):
             return self.extract_row(index, None)
         if isinstance(index, slice):
@@ -940,6 +1102,13 @@ class Matrix:
         return self.type._to_value(v[i, j])
 
     def __delitem__(self, index):
+        """Remove a single stored element.
+
+        >>> M = Matrix.from_lists([0, 1], [1, 0], [7, 9])
+        >>> del M[0, 1]
+        >>> M.to_lists()
+        [[1], [0], [9]]
+        """
         if (not isinstance(index, tuple) or not _is_int(index[0])
                 or not _is_int(index[1])):
             raise TypeError("__delitem__ only supports single element removal")
@@ -954,6 +1123,14 @@ class Matrix:
         self._invalidate()
 
     def __contains__(self, index):
+        """True iff an element is stored at (i, j).
+
+        >>> M = Matrix.from_lists([0, 1], [1, 0], [7, 9])
+        >>> (0, 1) in M
+        True
+        >>> (0, 0) in M
+        False
+        """
         try:
             self[index]
             return True
@@ -1022,7 +1199,12 @@ class Matrix:
 
     @property
     def I(self):
-        """Iterator over `Matrix.rows`."""
+        """Iterator over `Matrix.rows`.
+
+        >>> M = Matrix.from_lists([0, 1], [1, 0], [7, 9])
+        >>> list(M.I)
+        [0, 1]
+        """
         return iter(self.rows)
 
     @property
@@ -1037,22 +1219,42 @@ class Matrix:
 
     @property
     def cols(self):
-        """Array of column indices of stored elements."""
+        """Array of column indices of stored elements.
+
+        >>> M = Matrix.from_lists([0, 1], [1, 0], [7, 9])
+        >>> list(M.cols)
+        [1, 0]
+        """
         return array("L", map(int, self._coo()[1]))
 
     @property
     def J(self):
-        """Iterator over `Matrix.cols`."""
+        """Iterator over `Matrix.cols`.
+
+        >>> M = Matrix.from_lists([0, 1], [1, 0], [7, 9])
+        >>> list(M.J)
+        [1, 0]
+        """
         return iter(self.cols)
 
     @property
     def npJ(self):
-        """numpy array of column indices."""
+        """numpy array of column indices.
+
+        >>> M = Matrix.from_lists([0, 1], [1, 0], [7, 9])
+        >>> M.npJ
+        array([1, 0], dtype=uint64)
+        """
         return self._coo()[1].astype(np.uint64)
 
     @property
     def vals(self):
-        """Array of stored values."""
+        """Array of stored values.
+
+        >>> M = Matrix.from_lists([0, 1], [1, 0], [7, 9])
+        >>> list(M.vals)
+        [7, 9]
+        """
         v = self._coo()[2]
         if self.type._typecode is None:
             return list(map(self.type._to_value, v))
@@ -1060,16 +1262,32 @@ class Matrix:
 
     @property
     def V(self):
-        """Iterator over `Matrix.vals`."""
+        """Iterator over `Matrix.vals`.
+
+        >>> M = Matrix.from_lists([0, 1], [1, 0], [7, 9])
+        >>> list(M.V)
+        [7, 9]
+        """
         return iter(self.vals)
 
     @property
     def npV(self):
-        """numpy array of stored values."""
+        """numpy array of stored values.
+
+        >>> M = Matrix.from_lists([0, 1], [1, 0], [7, 9])
+        >>> M.npV
+        array([7, 9])
+        """
         return np.asarray(self._coo()[2])
 
     def to_scipy_sparse(self, format="csr"):
-        """Return a scipy sparse matrix copy of this Matrix."""
+        """Return a scipy sparse matrix copy of this Matrix.
+
+        >>> M = Matrix.from_lists([0, 1], [1, 0], [7, 9])
+        >>> M.to_scipy_sparse().toarray()
+        array([[0, 7],
+               [9, 0]])
+        """
         from scipy import sparse
 
         r, c, v = self._coo()
@@ -1101,7 +1319,15 @@ class Matrix:
         return arr
 
     def binwrite(self, filename, comments="", opener=Path.open):
-        """Write this Matrix to a binary checkpoint file."""
+        """Write this Matrix to a binary checkpoint file.
+
+        >>> import tempfile, os
+        >>> M = Matrix.from_lists([0, 1], [1, 0], [7, 9])
+        >>> path = os.path.join(tempfile.mkdtemp(), "m.binfile")
+        >>> M.binwrite(path)
+        >>> Matrix.binread(path).iseq(M)
+        True
+        """
         from .io.binfile import binwrite as _binwrite
 
         return _binwrite(self, filename, comments, opener)
@@ -1109,7 +1335,18 @@ class Matrix:
     to_binfile = binwrite
 
     def to_mm(self, fileobj):
-        """Write this Matrix to a MatrixMarket file-like object."""
+        """Write this Matrix to a MatrixMarket file-like object.
+
+        >>> import io
+        >>> M = Matrix.from_lists([0, 1], [1, 0], [7, 9])
+        >>> f = io.StringIO()
+        >>> M.to_mm(f)
+        >>> print(f.getvalue(), end="")
+        %%MatrixMarket matrix coordinate integer general
+        2 2 2
+        1 2 7
+        2 1 9
+        """
         from .io.mm import write_mm
 
         write_mm(self, fileobj)
@@ -1150,7 +1387,15 @@ class Matrix:
         return f"<Matrix({tname}, shape: {self.shape}, nvals: {self.nvals})>"
 
     def to_markdown_table(self, title="A", width=2):
-        """Markdown-table rendering."""
+        """Markdown-table rendering.
+
+        >>> M = Matrix.from_lists([0, 1], [1, 0], [7, 9])
+        >>> print(M.to_markdown_table())
+        A|0|1
+        ---|---|---
+        0||7
+        1|9|
+        """
         rows = []
         header = [title] + [str(j) for j in range(self.ncols)]
         rows.append("|".join(header))
@@ -1164,7 +1409,12 @@ class Matrix:
         return "\n".join(rows)
 
     def to_html_table(self, title="A", width=2):
-        """HTML-table rendering for notebooks."""
+        """HTML-table rendering for notebooks.
+
+        >>> M = Matrix.from_lists([0], [0], [7])
+        >>> print(M.to_html_table())
+        <table><tr><th>A</th><th>0</th></tr><tr><th>0</th><td>7</td></tr></table>
+        """
         out = [f"<table><tr><th>{title}</th>"]
         for j in range(self.ncols):
             out.append(f"<th>{j}</th>")
@@ -1209,6 +1459,11 @@ class Matrix:
           1| 42      |  1
           2|     0   |  2
               0  1  2
+        >>> M.transpose(desc=descriptor.T0).iseq(M)
+        True
+        >>> A = Matrix.from_lists([0], [0], [3])
+        >>> A.transpose(cast=types.FP32).type is types.FP32
+        True
         """
         mask, accum, desc = self._get_args(mask, accum, desc)
         really_transpose = not desc.inp0
@@ -1237,6 +1492,10 @@ class Matrix:
         >>> M = Matrix.from_lists([0, 1, 2], [1, 2, 0], [42, 0, 149])
         >>> M.cast(types.FP32).type is types.FP32
         True
+        >>> print(Matrix.from_lists([0], [0], [3]).cast(types.FP64))
+              0
+          0|3.0|  0
+              0
         """
         return self.transpose(cast, out, desc=T0)
 
@@ -1272,6 +1531,20 @@ class Matrix:
         >>> print(A.eadd(B))
               0  1
           0|    11|  0
+          1|  2 20|  1
+              0  1
+
+        The operator may be a BinaryOp, a Monoid, a Semiring (its add
+        monoid is taken), or an operator string:
+
+        >>> print(A.eadd(B, '+'))
+              0  1
+          0|    11|  0
+          1|  2 20|  1
+              0  1
+        >>> print(A.eadd(B, types.INT64.MIN))
+              0  1
+          0|     1|  0
           1|  2 20|  1
               0  1
         """
@@ -1356,6 +1629,11 @@ class Matrix:
           0|    10|  0
           1|      |  1
               0  1
+        >>> print(A.emult(B, '+'))
+              0  1
+          0|    11|  0
+          1|      |  1
+              0  1
         """
         mult_op = self._resolve_eop(mult_op, lambda: None, False)
         mask, accum, desc = self._get_args(mask, accum, desc)
@@ -1406,7 +1684,15 @@ class Matrix:
         return self.all(other, self.type.EQ)
 
     def isne(self, other):
-        """True iff not equal; see `Matrix.iseq`."""
+        """True iff not equal; see `Matrix.iseq`.
+
+        >>> A = Matrix.from_lists([0], [0], [1])
+        >>> B = Matrix.from_lists([0], [0], [2])
+        >>> A.isne(B)
+        True
+        >>> A.isne(A)
+        False
+        """
         return not self.iseq(other)
 
     # ------------------------------------------------------------------
@@ -1534,6 +1820,14 @@ class Matrix:
           1|         |  1
           2|149      |  2
               0  1  2
+        >>> print(M.select('<0'))
+              0  1  2
+          0|   -42   |  0
+          1|         |  1
+          2|         |  2
+              0  1  2
+        >>> M.select('!=0').nvals
+        2
         """
         if out is None:
             out = Matrix.sparse(self.type, self.nrows, self.ncols)
@@ -1599,19 +1893,48 @@ class Matrix:
         return self.select(selectop.TRIL, thunk=offset)
 
     def triu(self, offset=None):
-        """Upper triangular selection."""
+        """Upper triangular selection.
+
+        >>> M = Matrix.dense(types.UINT8, 2, 2, fill=1)
+        >>> print(M.triu())
+              0  1
+          0|  1  1|  0
+          1|     1|  1
+              0  1
+        >>> print(M.triu(1))
+              0  1
+          0|     1|  0
+          1|      |  1
+              0  1
+        """
         from . import selectop
 
         return self.select(selectop.TRIU, thunk=offset)
 
     def diag(self, offset=None):
-        """Diagonal selection."""
+        """Diagonal selection.
+
+        >>> M = Matrix.dense(types.UINT8, 2, 2, fill=3)
+        >>> print(M.diag())
+              0  1
+          0|  3   |  0
+          1|     3|  1
+              0  1
+        """
         from . import selectop
 
         return self.select(selectop.DIAG, thunk=offset)
 
     def offdiag(self, offset=None):
-        """Off-diagonal selection."""
+        """Off-diagonal selection.
+
+        >>> M = Matrix.dense(types.UINT8, 2, 2, fill=3)
+        >>> print(M.offdiag())
+              0  1
+          0|     3|  0
+          1|  3   |  1
+              0  1
+        """
         from . import selectop
 
         return self.select(selectop.OFFDIAG, thunk=offset)
@@ -1746,6 +2069,9 @@ class Matrix:
         >>> print(M.reduce_vector())
         0| 3
         1| 3
+        >>> print(M.reduce_vector(types.INT64.MAX_MONOID))
+        0| 2
+        1| 3
         """
         from .vector import Vector
 
@@ -1802,6 +2128,39 @@ class Matrix:
         >>> print(A @ A)
               0  1
           0|  6   |  0
+          1|     6|  1
+              0  1
+
+        A mask bounds the output pattern; `accum` folds into `out`;
+        `desc=T0` multiplies the transpose; a `with` semiring block
+        changes the operators of the enclosed `@`:
+
+        >>> A = Matrix.from_lists([0, 0, 1], [0, 1, 1], [1, 2, 3])
+        >>> B = Matrix.from_lists([0, 1, 1], [0, 0, 1], [4, 5, 6])
+        >>> M = Matrix.from_lists([0], [0], [True], nrows=2, ncols=2)
+        >>> print(A.mxm(B, mask=M))
+              0  1
+          0| 14   |  0
+          1|      |  1
+              0  1
+        >>> C = Matrix.from_lists([0, 1], [0, 1], [10, 20])
+        >>> D = Matrix.from_lists([0, 1], [0, 1], [1, 2])
+        >>> print(D.mxm(D, out=C, accum=types.INT64.PLUS))
+              0  1
+          0| 11   |  0
+          1|    24|  1
+              0  1
+        >>> from pygraphblas_tpu.descriptor import T0
+        >>> print(A.mxm(B, desc=T0))
+              0  1
+          0|  4   |  0
+          1| 23 18|  1
+              0  1
+        >>> from pygraphblas_tpu import semiring
+        >>> with semiring.MIN_PLUS_INT64:
+        ...     print(A @ A)
+              0  1
+          0|  2  3|  0
           1|     6|  1
               0  1
         """
@@ -1926,6 +2285,14 @@ class Matrix:
         >>> print(A.mxv(v))
         0|20
         1| 3
+
+        Any registered semiring may be passed explicitly:
+
+        >>> A = Matrix.from_lists([0, 0, 1], [0, 1, 1], [1, 2, 3])
+        >>> w = Vector.from_list([10, 20])
+        >>> print(A.mxv(w, semiring=types.INT64.MIN_PLUS))
+        0|11
+        1|23
         """
         from .vector import Vector
 
@@ -2213,6 +2580,10 @@ class Matrix:
         >>> I = Matrix.from_lists([0, 0, 1], [0, 1, 1], [1.0, 1.0, 1.0])
         >>> I.kronpow(1).iseq(I)
         True
+        >>> I.kronpow(2).shape
+        (4, 4)
+        >>> I.kronpow(2).nvals
+        9
         """
         if exponent == 0:
             return self.__class__.identity(self.type, self.nrows)
@@ -2253,6 +2624,22 @@ class Matrix:
               0
           0| 42|  0
               0
+
+        Slices are stop-inclusive (``slice(1, 2)`` keeps rows 1 and 2);
+        a negative step reverses:
+
+        >>> A = Matrix.from_lists([0, 1, 2], [0, 1, 2], [1, 2, 3])
+        >>> print(A.extract_matrix(slice(1, 2), slice(1, 2)))
+              0  1
+          0|  2   |  0
+          1|     3|  1
+              0  1
+        >>> print(A.extract_matrix(slice(2, 0, -1), None))
+              0  1  2
+          0|        3|  0
+          1|     2   |  1
+          2|  1      |  2
+              0  1  2
         """
         ta = desc is not None and desc.inp0
         mask, accum, desc = self._get_args(mask, accum, desc)
@@ -2325,6 +2712,13 @@ class Matrix:
         0|
         1|42
         2|
+
+        A column slice (stop-inclusive) extracts part of the row:
+
+        >>> A = Matrix.from_lists([0, 0, 0], [0, 1, 2], [1, 2, 3])
+        >>> print(A.extract_row(0, slice(1, 2)))
+        0| 2
+        1| 3
         """
         desc2 = desc if desc is not None else Default
         flipped = desc2 & T0 if not desc2.inp0 else desc2
@@ -2343,6 +2737,17 @@ class Matrix:
           0|     9   |  0
           1|     8   |  1
           2|     7   |  2
+              0  1  2
+
+        A row slice assigns into part of the column:
+
+        >>> N = Matrix.sparse(types.INT64, 3, 3)
+        >>> N.assign_col(0, Vector.from_list([7, 8]), slice(0, 1))
+        >>> print(N)
+              0  1  2
+          0|  7      |  0
+          1|  8      |  1
+          2|         |  2
               0  1  2
         """
         mask, accum, desc = self._get_args(mask, accum, desc)
@@ -2388,6 +2793,17 @@ class Matrix:
               0  1  2
           0|         |  0
           1|  9  8  7|  1
+          2|         |  2
+              0  1  2
+
+        A column slice assigns into part of the row:
+
+        >>> N = Matrix.sparse(types.INT64, 3, 3)
+        >>> N.assign_row(1, Vector.from_list([4, 5]), slice(1, 2))
+        >>> print(N)
+              0  1  2
+          0|         |  0
+          1|     4  5|  1
           2|         |  2
               0  1  2
         """
@@ -2545,6 +2961,17 @@ class Matrix:
           1|  t  t  t|  1
           2|         |  2
               0  1  2
+
+        With a mask, only the mask's pattern is written:
+
+        >>> A = Matrix.sparse(types.INT64, 2, 2)
+        >>> W = Matrix.from_lists([0, 1], [0, 1], [True, True])
+        >>> A.assign_scalar(5, mask=W)
+        >>> print(A)
+              0  1
+          0|  5   |  0
+          1|     5|  1
+              0  1
         """
         mask, accum, desc = self._get_args(mask, accum, desc)
         iset_r = self._resolve_iset(row_slice, self.nrows)
@@ -2699,6 +3126,20 @@ class Matrix:
         return self.eadd(other, op, out=self)
 
     def __add__(self, other):
+        """eadd with PLUS; a scalar operand binds apply_second.
+
+        >>> A = Matrix.from_lists([0, 1], [0, 1], [1, 2])
+        >>> print(A + A)
+              0  1
+          0|  2   |  0
+          1|     4|  1
+              0  1
+        >>> print(A + 1)
+              0  1
+          0|  2   |  0
+          1|     3|  1
+              0  1
+        """
         op = current_binop.get(self.type.PLUS)
         if not isinstance(other, Matrix):
             return self.apply_second(op, other)
@@ -2735,6 +3176,15 @@ class Matrix:
         return self.eadd(other, op, out=self)
 
     def __mul__(self, other):
+        """emult with TIMES; a scalar operand binds apply_second.
+
+        >>> A = Matrix.from_lists([0, 1], [0, 1], [1, 2])
+        >>> print(A * 3)
+              0  1
+          0|  3   |  0
+          1|     6|  1
+              0  1
+        """
         op = current_binop.get(self.type.TIMES)
         if not isinstance(other, Matrix):
             return self.apply_second(op, other)
@@ -2771,12 +3221,31 @@ class Matrix:
         return self.emult(other, op, out=self)
 
     def __invert__(self):
+        """Multiplicative inverse of every element.
+
+        >>> (~Matrix.from_lists([0], [0], [2.0]))[0, 0]
+        0.5
+        """
         return self.apply(self.type.MINV)
 
     def __neg__(self):
+        """Additive inverse of every element.
+
+        >>> A = Matrix.from_lists([0, 1], [0, 1], [1, 2])
+        >>> print(-A)
+              0  1
+          0| -1   |  0
+          1|    -2|  1
+              0  1
+        """
         return self.apply(self.type.AINV)
 
     def __abs__(self):
+        """Absolute value of every element.
+
+        >>> abs(Matrix.from_lists([0], [0], [-2]))[0, 0]
+        2
+        """
         return self.apply(self.type.ABS)
 
     # ------------------------------------------------------------------
@@ -2815,12 +3284,17 @@ class Matrix:
         return self.cast(typ).plus_pair(Vector.iso(1, self.nrows), out=out)
 
     def gini(self, typ=types.FP64):
-        """Gini coefficient of the out-degree distribution."""
+        """Gini coefficient of the out-degree distribution.
+
+        >>> M = Matrix.random(types.UINT8, 10, 10, 10, seed=42)
+        >>> M.gini()
+        0.23333333333333334
+        """
         arr = self.out_degree(typ).npV
         arr = np.sort(arr)
         n = arr.shape[0]
         index = np.arange(1, n + 1)
-        return (np.sum((2 * index - n - 1) * arr)) / (n * np.sum(arr))
+        return float((np.sum((2 * index - n - 1) * arr)) / (n * np.sum(arr)))
 
 
 def _random_value_fn(typ):

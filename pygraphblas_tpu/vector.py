@@ -131,6 +131,10 @@ class Vector:
         0| 7
         1| 7
         2| 7
+        >>> print(Vector.dense(types.FP32, 3, fill=1.5))
+        0|1.5
+        1|1.5
+        2|1.5
         """
         if size is None:
             size = GxB_INDEX_MAX
@@ -226,7 +230,12 @@ class Vector:
     def random(cls, typ, nvals, size=GxB_INDEX_MAX, make_pattern=False,
                seed=None):
         """Random vector (same stdlib-random draw order as the reference,
-        vector.py:289-328)."""
+        vector.py:289-328).
+
+        >>> v = Vector.random(types.INT64, 3, 10, seed=42)
+        >>> v.nvals <= 3 and v.size == 10
+        True
+        """
         from .matrix import _random_value_fn
 
         V = cls.sparse(typ, size)
@@ -242,7 +251,14 @@ class Vector:
 
     @classmethod
     def from_numpy(cls, arr):
-        """Dense vector from a 1-D numpy array."""
+        """Dense vector from a 1-D numpy array.
+
+        >>> import numpy as np
+        >>> print(Vector.from_numpy(np.array([1, 2, 3])))
+        0| 1
+        1| 2
+        2| 3
+        """
         arr = np.asarray(arr)
         typ = types.MetaType._dtype_type_map[arr.dtype.type]
         v = cls.sparse(typ, arr.shape[0])
@@ -515,7 +531,11 @@ class Vector:
 
     @property
     def shape(self):
-        """Tuple of (size,)."""
+        """Tuple of (size,).
+
+        >>> Vector.sparse(types.INT8, 7).shape
+        (7,)
+        """
         return (self._size,)
 
     @property
@@ -537,6 +557,11 @@ class Vector:
 
     @property
     def memory_usage(self):
+        """Bytes used by this vector's storage.
+
+        >>> Vector.from_list([1, 2, 3]).memory_usage > 0
+        True
+        """
         self._flush()
         if self._fmt == "coo":
             return self._idx_h.nbytes + self._vals_h.nbytes
@@ -544,7 +569,11 @@ class Vector:
 
     @property
     def gb_type(self):
-        """The GraphBLAS type object of the Vector."""
+        """The GraphBLAS type object of the Vector.
+
+        >>> Vector.from_list([1, 2, 3]).gb_type == types.INT64
+        True
+        """
         return self.type
 
     @property
@@ -558,17 +587,30 @@ class Vector:
 
     @property
     def I(self):
-        """Iterator over `Vector.indices`."""
+        """Iterator over `Vector.indices`.
+
+        >>> v = Vector.from_lists([0, 2], [7, 9], 4)
+        >>> list(v.I)
+        [0, 2]
+        """
         return iter(self.indices)
 
     @property
     def npI(self):
-        """numpy array of indices."""
+        """numpy array of indices.
+
+        >>> Vector.from_lists([0, 2], [7, 9], 4).npI
+        array([0, 2], dtype=uint64)
+        """
         return self._coo()[0].astype(np.uint64)
 
     @property
     def vals(self):
-        """Array of stored values."""
+        """Array of stored values.
+
+        >>> list(Vector.from_lists([0, 2], [7, 9], 4).vals)
+        [7, 9]
+        """
         v = self._coo()[1]
         if self.type._typecode is None:
             return list(map(self.type._to_value, v))
@@ -576,12 +618,20 @@ class Vector:
 
     @property
     def V(self):
-        """Iterator over `Vector.vals`."""
+        """Iterator over `Vector.vals`.
+
+        >>> list(Vector.from_lists([0, 2], [7, 9], 4).V)
+        [7, 9]
+        """
         return iter(self.vals)
 
     @property
     def npV(self):
-        """numpy array of stored values."""
+        """numpy array of stored values.
+
+        >>> Vector.from_lists([0, 2], [7, 9], 4).npV
+        array([7, 9])
+        """
         return np.asarray(self._coo()[1])
 
     def pattern(self, typ=types.BOOL):
@@ -597,7 +647,13 @@ class Vector:
 
     @property
     def S(self):
-        """The vector structure; same as `Vector.pattern()`."""
+        """The vector structure; same as `Vector.pattern()`.
+
+        >>> print(Vector.from_lists([0, 2], [7, 9], 3).S)
+        0| t
+        1|
+        2| t
+        """
         return self.pattern()
 
     # ------------------------------------------------------------------
@@ -610,6 +666,13 @@ class Vector:
         >>> v = Vector.from_list([1, 2])
         >>> v.dup().iseq(v)
         True
+
+        The duplicate is independent of the original:
+
+        >>> w = v.dup()
+        >>> w[0] = 9
+        >>> v[0]
+        1
         """
         out = Vector.sparse(self.type, self._size)
         self._flush()
@@ -622,7 +685,13 @@ class Vector:
         return out
 
     def clear(self):
-        """Remove all elements."""
+        """Remove all elements.
+
+        >>> v = Vector.from_list([1, 2, 3])
+        >>> v.clear()
+        >>> v.nvals
+        0
+        """
         self._pending = []
         if self._fmt == "bitmap":
             self._vals = jnp.zeros_like(self._vals)
@@ -654,12 +723,29 @@ class Vector:
         self._build(i[keep], v[keep])
 
     def wait(self):
-        """Complete all pending work on this Vector."""
+        """Complete all pending work on this Vector.
+
+        >>> v = Vector.sparse(types.INT64, 3)
+        >>> v[1] = 7
+        >>> v.wait()
+        >>> v.nvals
+        1
+        """
         self._flush()
         if self._fmt == "bitmap":
             self._vals.block_until_ready()
 
     def __setitem__(self, index, value):
+        """Write an element or region.
+
+        >>> v = Vector.sparse(types.INT64, 3)
+        >>> v[0] = 7
+        >>> v[1:] = 9
+        >>> print(v)
+        0| 7
+        1| 9
+        2| 9
+        """
         if _is_int(index):
             if not 0 <= index < self._size:
                 raise InvalidIndex("index out of bounds")
@@ -682,11 +768,27 @@ class Vector:
         raise TypeError
 
     def __getitem__(self, index):
+        """Read an element or sub-vector.
+
+        >>> v = Vector.from_list([1, 2, 3])
+        >>> v[1]
+        2
+        >>> print(v[0:1])
+        0| 1
+        1| 2
+        """
         if _is_int(index):
             return self.extract_element(index)
         return self.extract(index)
 
     def __delitem__(self, index):
+        """Remove a single stored element.
+
+        >>> v = Vector.from_lists([0, 2], [7, 9], 3)
+        >>> del v[0]
+        >>> v.to_lists()
+        [[2], [9]]
+        """
         if not _is_int(index):
             raise TypeError("only single element removal supported")
         self._flush()
@@ -700,6 +802,14 @@ class Vector:
         self._invalidate()
 
     def __contains__(self, index):
+        """True iff an element is stored at `index`.
+
+        >>> v = Vector.from_lists([0, 2], [7, 9], 3)
+        >>> 0 in v
+        True
+        >>> 1 in v
+        False
+        """
         try:
             self[index]
             return True
@@ -718,7 +828,12 @@ class Vector:
             return default
 
     def extract_element(self, index):
-        """Extract a single element; raises NoValue if absent."""
+        """Extract a single element; raises NoValue if absent.
+
+        >>> v = Vector.from_lists([0, 2], [7, 9], 3)
+        >>> v.extract_element(2)
+        9
+        """
         if not 0 <= index < self._size:
             raise InvalidIndex("index out of bounds")
         self._flush()
@@ -741,6 +856,13 @@ class Vector:
         >>> print(v.extract(slice(1, 2)))
         0| 2
         1| 3
+        >>> print(v.extract([0, 2]))
+        0| 1
+        1| 3
+        >>> print(v.extract(slice(2, 0, -1)))
+        0| 3
+        1| 2
+        2| 1
         """
         mask, accum, desc = self._get_args(mask, accum, desc)
         iset = _build_range(index if not _is_int(index)
@@ -792,7 +914,11 @@ class Vector:
                 array(self.type._typecode, map(self.type._to_value, v)))
 
     def to_numpy(self):
-        """Dense numpy copy."""
+        """Dense numpy copy.
+
+        >>> Vector.from_lists([0, 2], [7, 9], 3).to_numpy()
+        array([7, 0, 9])
+        """
         v, m = self._host_pair()
         return np.where(m, v, np.zeros((), v.dtype))
 
@@ -864,6 +990,10 @@ class Vector:
         0| 1
         1|12
         2|20
+        >>> print(u.eadd(v, types.INT64.MAX))
+        0| 1
+        1|10
+        2|20
         """
         add_op = self._resolve_eop(add_op, True)
         mask, accum, desc = self._get_args(mask, accum, desc)
@@ -895,6 +1025,10 @@ class Vector:
         0|
         1|20
         2|
+        >>> print(u.emult(v, '+'))
+        0|
+        1|12
+        2|
         """
         mult_op = self._resolve_eop(mult_op, False)
         mask, accum, desc = self._get_args(mask, accum, desc)
@@ -917,7 +1051,14 @@ class Vector:
     intersection = emult
 
     def all(self, other, op):
-        """True iff same size/pattern and op holds for all matched values."""
+        """True iff same size/pattern and op holds for all matched values.
+
+        >>> v = Vector.from_list([1, 2, 3])
+        >>> v.all(Vector.from_list([1, 2, 3]), types.INT64.EQ)
+        True
+        >>> v.all(Vector.from_list([1, 2, 4]), types.INT64.LE)
+        True
+        """
         if self.size != other.size:
             return False
         if self.nvals != other.nvals:
@@ -933,6 +1074,8 @@ class Vector:
         >>> v = Vector.from_list([1, 2])
         >>> v.iseq(v.dup())
         True
+        >>> v.iseq(Vector.from_list([1, 3]))
+        False
         """
         if eq_op is None:
             if self.type != other.type:
@@ -941,7 +1084,14 @@ class Vector:
         return self.all(other, eq_op)
 
     def isne(self, other):
-        """Not `iseq`."""
+        """Not `iseq`.
+
+        >>> v = Vector.from_list([1, 2])
+        >>> v.isne(Vector.from_list([1, 3]))
+        True
+        >>> v.isne(v)
+        False
+        """
         return not self.iseq(other)
 
     @_timed("Vector.apply")
@@ -951,6 +1101,9 @@ class Vector:
         >>> print(Vector.from_list([-1, 2]).apply(types.INT64.AINV))
         0| 1
         1|-2
+        >>> print(Vector.from_list([-1, 2]).apply(types.INT64.ABS))
+        0| 1
+        1| 2
         """
         if isinstance(op, _pytypes.FunctionType):
             from .unaryop import UnaryOp
@@ -1046,6 +1199,12 @@ class Vector:
         0|
         1|
         2| 1
+        >>> v.select('<0').nvals
+        1
+        >>> print(v.select('>', 0))
+        0|
+        1|
+        2| 1
         """
         if out is None:
             out = Vector.sparse(self.type, self.size)
@@ -1078,7 +1237,13 @@ class Vector:
         return self._writeback(out, tv, tm, mask, accum, desc)
 
     def nonzero(self):
-        """Select the non-zero entries."""
+        """Select the non-zero entries.
+
+        >>> print(Vector.from_lists([0, 1, 2], [1, 0, 3], 3).nonzero())
+        0| 1
+        1|
+        2| 3
+        """
         from . import selectop
 
         return self.select(selectop.NONZERO)
@@ -1139,6 +1304,8 @@ class Vector:
 
         >>> Vector.from_list([1, 2, 3]).reduce()
         6
+        >>> Vector.from_list([1, 2, 3]).reduce(types.INT64.MIN_MONOID)
+        1
         """
         if mon is None:
             mon = current_monoid.get(None)
@@ -1267,6 +1434,13 @@ class Vector:
         0|12
         1| 2
         2| 6
+
+        ``v @ M`` is the operator spelling:
+
+        >>> print(v @ M)
+        0|12
+        1| 2
+        2| 6
         """
         from .matrix import Matrix
 
@@ -1337,6 +1511,14 @@ class Vector:
         return self.eadd(other, op, out=self)
 
     def __add__(self, other):
+        """eadd with PLUS; a scalar operand binds apply_second.
+
+        >>> v = Vector.from_list([1, 2, 3])
+        >>> print(v + 1)
+        0| 2
+        1| 3
+        2| 4
+        """
         op = current_binop.get(self.type.PLUS)
         if not isinstance(other, Vector):
             return self.apply_second(op, other)
@@ -1373,6 +1555,14 @@ class Vector:
         return self.eadd(other, op, out=self)
 
     def __mul__(self, other):
+        """emult with TIMES; a scalar operand binds apply_second.
+
+        >>> v = Vector.from_list([1, 2, 3])
+        >>> print(v * v)
+        0| 1
+        1| 4
+        2| 9
+        """
         op = current_binop.get(self.type.TIMES)
         if not isinstance(other, Vector):
             return self.apply_second(op, other)
@@ -1412,9 +1602,21 @@ class Vector:
         return self.apply(self.type.MINV)
 
     def __neg__(self):
+        """Additive inverse of every element.
+
+        >>> print(-Vector.from_list([1, -2]))
+        0|-1
+        1| 2
+        """
         return self.apply(self.type.AINV)
 
     def __abs__(self):
+        """Absolute value of every element.
+
+        >>> print(abs(Vector.from_list([-1, 2])))
+        0| 1
+        1| 2
+        """
         return self.apply(self.type.ABS)
 
     # ------------------------------------------------------------------
@@ -1479,6 +1681,15 @@ class Vector:
         0| 9
         1| 8
         2| 7
+
+        A slice (stop-inclusive) assigns into part of the vector:
+
+        >>> w = Vector.from_list([1, 2, 3])
+        >>> w.assign(Vector.from_list([8, 9]), slice(1, 2))
+        >>> print(w)
+        0| 1
+        1| 8
+        2| 9
         """
         mask, accum, desc = self._get_args(mask, accum, desc)
         iset = _build_range(index if not _is_int(index)
@@ -1542,6 +1753,16 @@ class Vector:
         0|42
         1|42
         2|42
+
+        With a mask, only the mask's pattern is written:
+
+        >>> w = Vector.sparse(types.INT64, 3)
+        >>> m = Vector.from_lists([0, 2], [True, True], 3)
+        >>> w.assign_scalar(5, mask=m)
+        >>> print(w)
+        0| 5
+        1|
+        2| 5
         """
         mask, accum, desc = self._get_args(mask, accum, desc)
         iset = _build_range(index if not _is_int(index)
