@@ -267,3 +267,33 @@ def test_louvain_block_model_at_scale():
     agree = sum(Counter(lab[blocks == b]).most_common(1)[0][1]
                 for b in range(nblocks))
     assert agree / n > 0.9
+
+
+def test_bfs_level_device_frontier_routing(monkeypatch):
+    """bfs_level >=32K nnz routes through the device frontier loop
+    (zero per-level host expansion) and matches the host push/pull."""
+    import numpy as np
+    from pygraphblas_tpu import Matrix, types, algorithms, fused
+
+    rng = np.random.RandomState(7)
+    n = 3000
+    m = 40000
+    r = rng.randint(0, n, m)
+    c = rng.randint(0, n, m)
+    keep = r != c
+    A = Matrix.from_lists(list(r[keep]), list(c[keep]),
+                          [True] * int(keep.sum()), n, n,
+                          typ=types.BOOL)
+    assert A.nvals >= 32768
+    calls = {"n": 0}
+    orig = fused.bfs_frontier
+
+    def probe(A_, s_, **kw):
+        calls["n"] += 1
+        return orig(A_, s_, **kw)
+
+    monkeypatch.setattr(fused, "bfs_frontier", probe)
+    got = algorithms.bfs_level(A, 0)
+    assert calls["n"] == 1
+    want = algorithms.bfs_level_vxm(A, 0)
+    assert got.iseq(want.cast(got.type)) or got.iseq(want)
