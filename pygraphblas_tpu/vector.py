@@ -684,6 +684,32 @@ class Vector:
             out._invalidate()
         return out
 
+    def cast(self, cast, out=None):
+        """Cast this vector to another type (cf. `Matrix.cast`,
+        reference matrix.py:1063; vectors cast via apply-identity).
+
+        >>> v = Vector.from_list([1, 2, 3])
+        >>> w = v.cast(types.FP32)
+        >>> w.type is types.FP32
+        True
+        >>> print(w)
+        0|1.0
+        1|2.0
+        2|3.0
+        """
+        if out is None:
+            out = Vector.sparse(cast, self._size)
+        self._flush()
+        if self._fmt == "bitmap" and out._fmt == "bitmap":
+            v, m = self._dense_pair()
+            out._set_dense(v.astype(out.type._jnp_dtype()), m)
+        else:
+            i, v = self._coo()
+            out._idx_h = i.copy()
+            out._vals_h = v.astype(out.type._numpy_t)
+            out._invalidate()
+        return out
+
     def clear(self):
         """Remove all elements.
 
