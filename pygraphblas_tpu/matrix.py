@@ -112,6 +112,7 @@ class Matrix:
         "_format",      # BY_ROW / BY_COL orientation hint
         "_hyper_switch",
         "_sparsity",
+        "_iso_v",       # iso format: the single repeated value
     )
 
     # ------------------------------------------------------------------
@@ -132,10 +133,14 @@ class Matrix:
         self._format = config.format
         self._hyper_switch = config.hyper_switch
         self._sparsity = 15  # GxB_AUTO_SPARSITY
+        self._iso_v = None
         if fmt is None:
             fmt = "bitmap" if self._fits_bitmap(nrows, ncols, typ) else "coo"
         self._fmt = fmt
-        if fmt == "bitmap":
+        if fmt == "iso":
+            self._vals = self._mask = None
+            self._rows_h = self._cols_h = self._vals_h = None
+        elif fmt == "bitmap":
             dt = typ._jnp_dtype()
             self._vals = jnp.zeros((self._nrows, self._ncols), dt)
             self._mask = jnp.zeros((self._nrows, self._ncols), jnp.bool_)
@@ -230,12 +235,26 @@ class Matrix:
         4
         >>> M.type == types.INT64
         True
+
+        Past the dense budget the single value is stored once (O(1),
+        like SuiteSparse iso-full, reference matrix.py:233-266), so the
+        default `GxB_INDEX_MAX` dims work and any element reads back:
+
+        >>> M = Matrix.iso(3)
+        >>> M[42, 42]
+        3
+        >>> M.nrows == GxB_INDEX_MAX
+        True
         """
         if nrows is None:
             nrows = GxB_INDEX_MAX
         if ncols is None:
             ncols = GxB_INDEX_MAX
         typ = _type_from_value(value)
+        if not cls._fits_bitmap(nrows, ncols, typ):
+            m = cls(typ, nrows, ncols, fmt="iso")
+            m._iso_v = typ._coerce(value)
+            return m
         return cls.dense(typ, nrows, ncols, fill=value)
 
     @classmethod
@@ -534,6 +553,9 @@ class Matrix:
         """Apply pending single-element writes in one vectorized scatter."""
         if not self._pending:
             return
+        if self._fmt == "iso":
+            raise InsufficientSpace(
+                "iso matrix too large to modify; copy to a sized matrix")
         pend = self._pending
         self._pending = []
         I = np.asarray([p[0] for p in pend], np.int64)
@@ -552,6 +574,14 @@ class Matrix:
     def _dense_pair(self, transpose=False):
         """Return device (vals, mask), converting COO->bitmap if it fits."""
         self._flush()
+        if self._fmt == "iso":
+            if not self._fits_bitmap(self._nrows, self._ncols, self.type):
+                raise InsufficientSpace(
+                    "iso matrix too large to materialize")
+            v = jnp.full((self._nrows, self._ncols), self._iso_v,
+                         self.type._jnp_dtype())
+            m = jnp.ones((self._nrows, self._ncols), jnp.bool_)
+            return (v.T, m.T) if transpose else (v, m)
         if self._fmt == "bitmap":
             v, m = self._vals, self._mask
         else:
@@ -586,6 +616,15 @@ class Matrix:
     def _coo(self):
         """Host canonical COO triples (rows, cols, vals)."""
         self._flush()
+        if self._fmt == "iso":
+            if self._nrows * self._ncols > (1 << 27):
+                raise InsufficientSpace(
+                    "iso matrix too large to enumerate")
+            r = np.repeat(np.arange(self._nrows, dtype=np.int64),
+                          self._ncols)
+            c = np.tile(np.arange(self._ncols, dtype=np.int64),
+                        self._nrows)
+            return r, c, np.full(r.size, self._iso_v, self.type._numpy_t)
         if self._fmt == "coo":
             return self._rows_h, self._cols_h, self._vals_h
         v, m = self._host_pair()
@@ -763,7 +802,9 @@ class Matrix:
         """
         self._flush()
         if self._nvals_c is None:
-            if self._fmt == "coo":
+            if self._fmt == "iso":
+                self._nvals_c = self._nrows * self._ncols
+            elif self._fmt == "coo":
                 self._nvals_c = int(self._rows_h.size)
             else:
                 self._nvals_c = int(jnp.sum(self._mask))
@@ -778,6 +819,8 @@ class Matrix:
         True
         """
         self._flush()
+        if self._fmt == "iso":
+            return np.dtype(self.type._numpy_t).itemsize
         if self._fmt == "coo":
             return (self._rows_h.nbytes + self._cols_h.nbytes
                     + self._vals_h.nbytes)
@@ -877,6 +920,8 @@ class Matrix:
         4
         """
         self._flush()
+        if self._fmt == "iso":
+            return 8
         if self._fmt == "coo":
             return 1
         if self.nvals == self._nrows * self._ncols:
@@ -1091,6 +1136,8 @@ class Matrix:
         if not (0 <= i < self._nrows and 0 <= j < self._ncols):
             raise InvalidIndex("index out of bounds")
         self._flush()
+        if self._fmt == "iso":
+            return self.type._to_value(self._iso_v)
         if self._fmt == "coo":
             pos = ck.find(self._rows_h, self._cols_h, i, j)
             if pos < 0:

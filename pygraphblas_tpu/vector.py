@@ -73,6 +73,8 @@ class Vector:
         "_pending",
         "_nvals_c",
         "_host_c",
+        "_hyper_switch",
+        "_sparsity",
     )
 
     def __init__(self, typ, size, fmt=None):
@@ -82,6 +84,8 @@ class Vector:
         self._nvals_c = None
         self._host_c = None
         self._iso_v = None
+        self._hyper_switch = config.hyper_switch
+        self._sparsity = 15  # GxB_AUTO_SPARSITY
         if fmt is None:
             fmt = "bitmap" if self._fits_bitmap(size, typ) else "coo"
         self._fmt = fmt
@@ -563,9 +567,66 @@ class Vector:
         True
         """
         self._flush()
+        if self._fmt == "iso":
+            return np.dtype(self.type._numpy_t).itemsize
         if self._fmt == "coo":
             return self._idx_h.nbytes + self._vals_h.nbytes
         return self._vals.nbytes + self._mask.nbytes
+
+    @property
+    def hyper_switch(self):
+        """Hypersparsity switching threshold (parity knob, reference
+        vector.py:402-417).
+
+        >>> v = Vector.from_list([1, 2, 3])
+        >>> v.hyper_switch = 0.5
+        >>> v.hyper_switch
+        0.5
+        """
+        return self._hyper_switch
+
+    @hyper_switch.setter
+    def hyper_switch(self, switch):
+        self._hyper_switch = float(switch)
+
+    @property
+    def sparsity(self):
+        """Sparsity control bitmask (reference vector.py:419-438);
+        defaults to GxB_AUTO_SPARSITY (15).
+
+        >>> v = Vector.from_list([1, 2, 3])
+        >>> v.sparsity
+        15
+        >>> v.sparsity = 4
+        >>> v.sparsity
+        4
+        """
+        return self._sparsity
+
+    @sparsity.setter
+    def sparsity(self, sparsity):
+        self._sparsity = int(sparsity)
+
+    @property
+    def sparsity_status(self):
+        """Current physical format: 1=hypersparse, 2=sparse, 4=bitmap,
+        8=full (reference vector.py:440-447).
+
+        >>> Vector.from_lists([0, 2], [7, 9], 4).sparsity_status
+        4
+        >>> Vector.from_list([1, 2, 3]).sparsity_status
+        8
+        >>> Vector.sparse(types.INT64, 10**12).sparsity_status
+        1
+        """
+        self._flush()
+        if self._fmt == "iso":
+            return 8
+        if self._fmt == "coo":
+            return 1
+        if self.nvals == self._size:
+            return 8
+        return 4
 
     @property
     def gb_type(self):

@@ -679,3 +679,23 @@ def test_reduce_scalar_accum():
     B = Matrix.from_lists([0], [0], [True])
     assert B.reduce_bool(accum=types.BOOL.LOR) is True
     assert M.reduce(accum=types.INT64.MINUS) == -9
+
+
+def test_iso_o1_storage():
+    """Huge iso matrices store one value O(1) (ref matrix.py:233-266)."""
+    from pygraphblas_tpu import GxB_INDEX_MAX
+    from pygraphblas_tpu.base import InsufficientSpace
+
+    M = Matrix.iso(3)
+    assert M.nrows == GxB_INDEX_MAX and M.ncols == GxB_INDEX_MAX
+    assert M[42, 42] == 3
+    assert M.memory_usage == 8  # one INT64
+    assert M.sparsity_status == 8  # full
+    # small iso stays a materialized dense matrix and is mutable
+    S = Matrix.iso(3, 2, 2)
+    S[1, 1] = 2
+    assert S[1, 1] == 2 and S[0, 0] == 3 and S.nvals == 4
+    # huge iso cannot be mutated in place
+    M[0, 0] = 5
+    with pytest.raises(InsufficientSpace):
+        M.nvals

@@ -257,3 +257,28 @@ def test_vxm_non_commutative_sparse_matches_dense():
     assert sparse_first == [[0, 1, 2], [4, 2, 3]]
     dense_minus = v.vxm(M, types.INT64.MIN_MINUS).to_lists()
     assert sparse_minus == dense_minus
+
+
+def test_sparsity_knobs():
+    """Parity knobs (reference vector.py:402-447)."""
+    v = Vector.from_list([1, 2, 3])
+    assert v.sparsity == 15  # GxB_AUTO_SPARSITY
+    v.sparsity = 4
+    assert v.sparsity == 4
+    v.hyper_switch = 0.25
+    assert v.hyper_switch == 0.25
+    assert Vector.from_list([1, 2, 3]).sparsity_status == 8  # full
+    assert Vector.from_lists([0, 2], [7, 9], 4).sparsity_status == 4
+    assert Vector.sparse(types.INT64, 10**12).sparsity_status == 1
+    assert Vector.iso(5, 10**12).sparsity_status == 8
+
+
+def test_cast_bitmap_and_coo():
+    v = Vector.from_lists([0, 2, 5], [1, 2, 3], 8)
+    w = v.cast(types.FP64)
+    assert w.type is types.FP64
+    assert w.to_lists() == [[0, 2, 5], [1.0, 2.0, 3.0]]
+    h = Vector.sparse(types.INT64, 10**8)
+    h[123] = 7
+    hc = h.cast(types.FP32)
+    assert hc.type is types.FP32 and hc.to_lists() == [[123], [7.0]]
