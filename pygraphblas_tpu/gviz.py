@@ -11,8 +11,10 @@ __all__ = [
     "draw_graph",
     "draw_matrix",
     "draw_vector",
+    "draw_vector_dot",
     "draw_matrix_op",
     "draw_layers",
+    "draw_matrix_layers",
     "draw_graph_op",
     "draw_cy",
     "draw_vis",
@@ -150,16 +152,68 @@ def draw_graph(M, name="", rankdir="LR", show_weight=True, concentrate=True,
     return g
 
 
-draw = draw_graph
+def draw_vector_dot(V, name="", rankdir="LR", ioff=0, joff=0):
+    """Draw a Vector as a graphviz chain of ``index:value`` nodes
+    (reference gviz.py:58-63).
+
+    >>> from pygraphblas_tpu import Vector
+    >>> g = draw_vector_dot(Vector.from_lists([0, 2], [7, 9]))
+    >>> '0:7' in g.source and '2:9' in g.source
+    True
+    """
+    gv = _require("graphviz")
+    g = gv.Digraph(name)
+    g.attr(rankdir=rankdir, ranksep="1")
+    for i, v in V:
+        g.node(str(i + ioff), label="%s:%s" % (str(i), str(v)))
+    return g
+
+
+def draw(obj, name="", **kws):
+    """Dispatch: Matrices draw as graphs, Vectors as dot chains
+    (reference gviz.py:241-247).
+
+    >>> from pygraphblas_tpu import Matrix, Vector
+    >>> 'digraph' in draw(Matrix.from_lists([0], [1], [2])).source
+    True
+    >>> '0:7' in draw(Vector.from_lists([0], [7])).source
+    True
+    """
+    from .matrix import Matrix
+    from .vector import Vector
+
+    if isinstance(obj, Matrix):
+        return draw_graph(obj, name, **kws)
+    if isinstance(obj, Vector):
+        return draw_vector_dot(obj, name, **kws)
+    raise TypeError("draw() takes a Matrix or a Vector")
 
 
 def draw_graph_op(left, op, right, result, **kwargs):  # pragma: no cover
-    """Draw `left op right = result` as graphs side by side."""
+    """Draw `left op right = result` as graphs side by side
+    (reference gviz.py:251-275): operands offset into disjoint id
+    ranges so the three subgraphs don't share nodes."""
     gv = _require("graphviz")
+    from .matrix import Matrix
+
     g = gv.Digraph()
-    for label, m in (("A", left), (op, right), ("=", result)):
-        sub = draw_graph(m, name=f"cluster_{label}")
-        g.subgraph(sub)
+    ioff = joff = 0
+
+    def _sub(obj, name):
+        nonlocal ioff, joff
+        if isinstance(obj, Matrix):
+            ioff += obj.nrows
+            joff += obj.ncols
+            return draw_graph(obj, name=name, ioff=ioff, joff=joff)
+        ioff += obj.size
+        joff += obj.size
+        return draw_vector_dot(obj, name=name, ioff=ioff, joff=joff)
+
+    g.subgraph(_sub(left, "cluster_left"))
+    g.node(op, width="0.5")
+    g.subgraph(_sub(right, "cluster_right"))
+    g.node("=", width="0.5")
+    g.subgraph(_sub(result, "cluster_result"))
     return g
 
 
@@ -257,9 +311,51 @@ def draw_matrix_op(left, op, right, result, scale=10, cmap="viridis",
     return out
 
 
-def draw_layers(layers, scale=10, cmap="viridis",
-                filename=None):  # pragma: no cover
-    """Draw a multi-layer (DNN) stack of matrices."""
+def draw_layers(M, name="", rankdir="LR", label_width=None):
+    """Draw a multi-layer (DNN) stack of matrices as a graphviz layered
+    node graph: layer l's rows are one rank, edges follow the nonzero
+    pattern into layer l+1 (reference gviz.py:205-239).
+
+    >>> from pygraphblas_tpu import Matrix
+    >>> W = Matrix.from_lists([0, 1], [1, 0], [1, 1], 2, 2)
+    >>> g = draw_layers([W, W])
+    >>> g.source.count('invis') > 0
+    True
+    """
+    gv = _require("graphviz")
+    g = gv.Digraph(name)
+    g.attr(rankdir=rankdir, ranksep="1")
+
+    def _s(x):
+        return str(x)[:label_width] if label_width else str(x)
+
+    for l, m in enumerate(M):
+        with g.subgraph() as s:
+            s.attr(rank="same", rankdir="TB")
+            for i in range(m.nrows):
+                si = (l * m.nrows) + i
+                s.node(str(si), label=_s(si), width="0.5")
+                if i < m.nrows - 1:
+                    s.edge(str(si), str(si + 1), style="invis",
+                           minlen="0", weight="1000")
+    last = M[-1]
+    with g.subgraph() as s:
+        s.attr(rank="same", rankdir="LR")
+        for j in range(last.nrows):
+            sj = (len(M) * last.nrows) + j
+            s.node(str(sj), label=_s(j), width="0.5")
+            if j < last.nrows - 1:
+                s.edge(str(sj), str(sj + 1), style="invis")
+    for l, m in enumerate(M):
+        for i, j, _ in m:
+            g.edge(str((l * m.nrows) + i), str(((l + 1) * m.nrows) + j))
+    return g
+
+
+def draw_matrix_layers(layers, scale=10, cmap="viridis",
+                       filename=None):  # pragma: no cover
+    """Draw a multi-layer (DNN) stack of matrices as a heatmap strip
+    (reference gviz.py:432-443)."""
     pil = _require("PIL.Image")
     imgs = [draw_matrix(m, scale=scale, cmap=cmap) for m in layers]
     gap = scale * 2
