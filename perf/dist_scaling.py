@@ -76,17 +76,24 @@ def hlo_comm_bytes(compiled):
         m = _COLL_RE.search(ln)
         if not m:
             continue
-        s = _SHAPE_RE.search(ln)
-        if not s:
+        # sum EVERY result shape on the line: tuple-shaped results
+        # (multi-operand all-reduce, collective-permute-start pairs)
+        # contribute each element (advisor r4 low)
+        if "=" not in ln:
             continue
-        dt, dims = s.group(1), s.group(2)
-        if dt not in _DTYPE_BYTES:
+        result_part = ln.split("=", 1)[1].split(m.group(0))[0]
+        b = 0
+        for dt, dims in re.findall(r"([a-z0-9]+)\[([0-9,]*)\]",
+                                   result_part):
+            if dt not in _DTYPE_BYTES:
+                continue
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            b += n * _DTYPE_BYTES[dt]
+        if not b:
             continue
-        n = 1
-        for d in dims.split(","):
-            if d:
-                n *= int(d)
-        b = n * _DTYPE_BYTES[dt]
         total += b
         ops[m.group(1)] = ops.get(m.group(1), 0) + b
     return total, ops

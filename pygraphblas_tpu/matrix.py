@@ -477,18 +477,29 @@ class Matrix:
         return result
 
     @classmethod
-    def ssget(cls, name_or_id=None, binary_cache_dir=None):  # pragma: no cover
-        """Fetch a matrix from the SuiteSparse collection (requires the
-        optional ssgetpy package and network access)."""
+    def ssget(cls, name_or_id=None, binary_cache_dir=None):
+        """Fetch matrices from the SuiteSparse collection (requires the
+        optional ssgetpy package and network access); yields
+        ``(filename, Matrix)`` pairs.
+
+        With `binary_cache_dir`, each Matrix-Market file is cached next
+        to the download as a `.grb` binfile and later calls skip the MM
+        reparse (reference matrix.py:596-624)."""
         import ssgetpy
 
-        results = []
         result = ssgetpy.search(name_or_id)[0]
         mm_path, _ = result.download(extract=True)
-        for fname in Path(mm_path).glob("*.mtx"):
-            M = cls.from_mm(fname)
-            results.append((fname.name, M))
-        return results
+        mm_path = Path(mm_path)
+        for m in sorted(mm_path.glob("*.mtx")):
+            Mbin = mm_path / (m.name + ".grb")
+            if binary_cache_dir and Mbin.exists():
+                M = cls.from_binfile(Mbin)
+            else:
+                M = cls.from_mm(m)
+                if binary_cache_dir:
+                    M.to_binfile(Mbin)
+            M.wait()
+            yield m.name, M
 
     @classmethod
     def from_scipy_sparse(cls, m):

@@ -553,7 +553,8 @@ def dist_masked_spgemm(mesh, nrows_a, ncols_a, ncols_b,
         second call over the same operand skips the argsort/bincount/
         unique host pass AND the device transfer (VERDICT r3 weak #7)."""
         key = ("bcsr", _content_key(rows_, cols_, vals_),
-               n_ids, blk, Pn, dtype.str, repr(ident))
+               n_ids, blk, Pn, tuple(d.id for d in devs),
+               dtype.str, repr(ident))
         hit = _ring_cache_get(key)
         if hit is not None:
             return hit
