@@ -72,6 +72,20 @@ def _watchdog(timeout_s, what):
     return done
 
 
+def _xspmv_plan_cached(A):
+    """True when the transposed-orientation FP32 xspmv plan (the one
+    fused.pagerank builds) is already in the disk cache."""
+    try:
+        from pygraphblas_tpu.core.xspmv import XSpmvPlan
+
+        r, c, v = A._coo()
+        path = XSpmvPlan.cache_path(c, r, v, A.ncols, A.nrows,
+                                    np.float32)
+        return bool(path and os.path.exists(path))
+    except Exception:
+        return False
+
+
 def main():
     scale = int(os.environ.get("BENCH_SCALE", "20"))
     edgefactor = int(os.environ.get("BENCH_EDGEFACTOR", "16"))
@@ -85,11 +99,19 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    # first-transfer canary: a wedged tunnel blocks here, not 10 min in
-    done = _watchdog(90, "first device transfer")
+    # first-transfer canary: a wedged tunnel blocks here, not 10 min in.
+    # A COLD tunnel can legitimately take ~250s to first result (r5
+    # measurement), so the first attempt waits longer; retries assume
+    # the server side is warm and give up faster.
+    attempt = int(os.environ.get("BENCH_ATTEMPT", "0"))
+    canary_budget = 300 if attempt == 0 else 120
+    canary_budget = min(canary_budget, max(_remaining() - 120, 60))
+    t0 = time.perf_counter()
+    done = _watchdog(canary_budget, "first device transfer")
     canary = float(jnp.arange(8.0).sum())
     done.set()
-    _note(f"device canary ok ({canary})")
+    _note(f"device canary ok ({canary}) in "
+          f"{time.perf_counter() - t0:.1f}s")
 
     if jax.default_backend() == "cpu":
         # tunnel-outage fallback (or harness testing): a recorded CPU
@@ -110,8 +132,16 @@ def main():
         np.savez(cache, rows=rows, cols=cols, n=n)
     nnz = len(rows)
     A = to_matrix(rows, cols, n, types.FP32)
-    _note(f"graph ready: n={n} nnz={nnz}; building/loading SpMV plan "
-          "(minutes when /tmp/pygb_plans is cold)...")
+    plan_cached = _xspmv_plan_cached(A)
+    if not plan_cached and _remaining() < 420:
+        # cold plan cache + not enough budget to build one: the csr8
+        # engine needs no plan and still lands a DEVICE number
+        # (VERDICT r4 next #4: cheap device tier before CPU fallback)
+        _note("plan cache cold and budget short: forcing csr8 engine")
+        from pygraphblas_tpu import options_set
+        options_set(spmv_engine="csr8")
+    _note(f"graph ready: n={n} nnz={nnz}; plan_cached={plan_cached}; "
+          "building/loading SpMV plan (minutes when cold)...")
 
     # whole-loop-fused PageRank: the iteration loop is a single XLA
     # executable over the cached plan (fused.py); tol=-1 forces exactly
@@ -234,7 +264,8 @@ def _main_cpu_fallback(scale, edgefactor, iters):
         "metric": f"pagerank_spmv_kron_s{scale}_ef{edgefactor}_cpuhost",
         "value": nnz * iters / elapsed,
         "unit": "nnz/s",
-        "vs_baseline": 1.0,
+        # fallback metric: not comparable to the device headline
+        "vs_baseline": None,
     }), flush=True)
 
 
@@ -394,6 +425,7 @@ def supervised():
         att_budget = remaining if attempt == attempts - 1 \
             else min(remaining, max(remaining * 0.55, 300))
         env = dict(os.environ, BENCH_INNER="1",
+                   BENCH_ATTEMPT=str(attempt),
                    BENCH_TOTAL_DEADLINE=str(max(att_budget - 15, 60)))
         if attempt == attempts - 1 and os.environ.get(
                 "BENCH_FORCE_CPU") != "1":
