@@ -123,11 +123,16 @@ def _scipy_dnn_oracle(img_r, img_c, img_v, layer_triples, nfeat, n, bias):
     return Y
 
 
-def run_fullscale(nneurons=1024, nlayers=120, nimages=NFEATURES, seed=7):
+def run_fullscale(nneurons=1024, nlayers=120, nimages=NFEATURES, seed=7,
+                  engine="dnn"):
     """The official-size run (60,000 x nneurons images through nlayers
     RadiX-Net layers) with a self-computed category truth oracle —
     the reference's dataset-scale config (demo/dnn/dnn.sh) made hermetic
     (no network egress for the GraphChallenge tarballs).
+
+    ``engine="hyperdnn"`` routes through the whole-net hypersparse
+    block matrix with the fused user-JIT'd ReLU semiring
+    (algorithms.hyperdnn; reference demo/dnn/dnn.py:28-50).
     """
     from pygraphblas_tpu import Matrix, types
 
@@ -165,7 +170,17 @@ def run_fullscale(nneurons=1024, nlayers=120, nimages=NFEATURES, seed=7):
 
     bias = -0.25
     biases = build_biases(n, nlayers, bias)
-    result = run(n, images, layers, biases)
+    if engine == "hyperdnn":
+        from pygraphblas_tpu.algorithms import hypergraph, hyperdnn
+
+        HW = hypergraph(layers)
+        HB = hypergraph(biases, diag=True)
+        Yh = Matrix.sparse(types.FP32, nimages, HW.ncols)
+        Yh._build(img_r.astype(np.int64), img_c.astype(np.int64), img_v)
+        result = hyperdnn(nlayers, HW, HB, Yh)
+        result.wait()
+    else:
+        result = run(n, images, layers, biases)
     predicted = set(result.reduce_vector().nonzero().indices)
 
     truth_Y = _scipy_dnn_oracle(

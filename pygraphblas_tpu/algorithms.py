@@ -23,6 +23,9 @@ __all__ = [
     "triangle_centrality",
     "louvain_cluster",
     "dnn",
+    "hypergraph",
+    "hyperdnn",
+    "relu_neuron_semiring",
 ]
 
 
@@ -444,6 +447,72 @@ def louvain_cluster(A, max_iters=20, max_levels=10, seed=None):
     out = Vector.sparse(types.INT64, n)
     out._build(np.arange(n, dtype=np.int64), mapping.astype(np.int64))
     return out
+
+
+def hypergraph(mt, size=None, typ=None, diag=False):
+    """Assemble a list of matrices into ONE hypersparse block matrix:
+    block row l holds layer l, shifted one block column right, so a
+    single mxm advances activations through every layer at once
+    (reference ``demo/dnn/radix.py:52-65``).  Vectorized COO assembly —
+    no per-element loop.
+
+    With ``diag=True``, block l is placed at (l+1, l+1) instead: the
+    layout for per-layer BIAS matrices, which must apply in place to
+    activations that just hopped into block l+1 (the reference's
+    superdiagonal-bias hyperdnn, commented out in its own harness at
+    ``demo/dnn/challenge.py:68-71``, double-advances the block index
+    and cannot compose with the weight hop)."""
+    import numpy as np
+
+    if size is None:
+        size = sum(m.nrows for m in mt) + mt[-1].nrows
+    typ = typ or mt[0].type
+    rows_all, cols_all, vals_all = [], [], []
+    ioffset = 0
+    joffset = 0
+    for m in mt:
+        joffset += m.nrows
+        r, c, v = m._coo()
+        rows_all.append(r + (joffset if diag else ioffset))
+        cols_all.append(c + joffset)
+        vals_all.append(v)
+        ioffset += m.nrows
+    R = Matrix.sparse(typ, size, size)
+    R._build(np.concatenate(rows_all), np.concatenate(cols_all),
+             np.concatenate(vals_all).astype(typ._numpy_t))
+    return R
+
+
+def relu_neuron_semiring(clip=32.0):
+    """The GraphChallenge fused ReLU semiring (reference
+    ``demo/dnn/dnn.py:28-40``): mul(x, b) = min(max(x + b, 0), clip)
+    applies bias, ReLU, and the saturation clip INSIDE the mxm; the
+    add monoid is MAX."""
+    import jax.numpy as jnp
+
+    from .binaryop import binary_op
+
+    @binary_op(types.FP32)
+    def RELU_TIMES(x, y):
+        return jnp.minimum(jnp.maximum(x + y, 0.0), jnp.float32(clip))
+
+    mon = types.FP32.new_monoid(types.FP32.MAX, types.FP32.default_one)
+    return types.FP32.new_semiring(mon, RELU_TIMES)
+
+
+def hyperdnn(nlayers, W, B, Y):
+    """Fused hypersparse DNN inference (reference
+    ``demo/dnn/dnn.py:41-50``): W and B are whole-net `hypergraph`
+    block matrices (B built with ``diag=True``); each iteration
+    advances every image one layer via two hypersparse mxms, with
+    bias + ReLU + clip fused into the second mxm through the
+    user-defined `relu_neuron_semiring`."""
+    sem = relu_neuron_semiring()
+    for _ in range(nlayers):
+        Y = Y @ W
+        Y = Y.mxm(B, semiring=sem)
+        Y = Y.select(">0")
+    return Y
 
 
 def dnn(W, B, Y):
