@@ -203,8 +203,37 @@ def triangle_count(A, method="sandia", order_by_degree=True):
     adjacency lists stay short, bounding the per-edge intersection work.
     The count is relabeling-invariant.
     """
+    import numpy as _np
+
+    sr = types.INT64.plus_pair
+    if method == "sandia":
+        # fused fast path: relabel + tril + canonicalize in ONE host
+        # pass, and sum the masked plus_pair dot products directly —
+        # no relabeled container, no tril container, no result
+        # container (r5 profile: those three cost more than the whole
+        # device intersect)
+        r, c, v = A._coo()
+        if order_by_degree:
+            deg = _np.zeros(max(A.nrows, A.ncols), _np.int64)
+            _np.add.at(deg, r, 1)
+            perm = _np.argsort(deg, kind="stable")
+            rank = _np.empty_like(perm)
+            rank[perm] = _np.arange(len(perm))
+            r, c = rank[r], rank[c]
+        keep = r > c
+        lr, lc = r[keep], c[keep]
+        order = _np.lexsort((lc, lr))          # canonical row-major L
+        lr, lc = lr[order], lc[order]
+        ordT = _np.lexsort((lr, lc))           # col-major = rows of L^T
+        btr, btc = lc[ordT], lr[ordT]
+        ones = _np.ones(len(lr), _np.int64)
+        from .core import spgemm as gk
+
+        _, _, vv = gk.masked_spgemm(lr, lc, ones, btr, btc, ones,
+                                    lr, lc, sr, _np.int64)
+        return int(vv.sum())
+
     if order_by_degree:
-        import numpy as _np
         r, c, v = A._coo()
         deg = _np.zeros(max(A.nrows, A.ncols), _np.int64)
         _np.add.at(deg, r, 1)
@@ -215,13 +244,9 @@ def triangle_count(A, method="sandia", order_by_degree=True):
         relabeled._build(rank[r], rank[c], _np.asarray(v))
         A = relabeled
     L = A.tril(-1)
-    sr = types.INT64.plus_pair
     if method == "cohen":
         C = L.mxm(A.triu(1), semiring=sr, mask=A, cast=types.INT64)
         return C.reduce_int() // 2
-    if method == "sandia":
-        C = L.mxm(L, semiring=sr, mask=L, cast=types.INT64)
-        return C.reduce_int()
     if method == "sandia_dot":
         C = L.mxm(A.triu(1), semiring=sr, mask=L, cast=types.INT64,
                   desc=descriptor.T1)

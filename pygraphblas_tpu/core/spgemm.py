@@ -83,76 +83,268 @@ def _pallas_fill_keys(a_cols2, b_cols2, a_st, wa, b_st, wb, width):
     rows_a = a_cols2.shape[0]
     rows_b = b_cols2.shape[0]
 
+    # rows per grid step: 8 rows/step costs ~2-3us of per-step overhead
+    # each, which dominated the whole masked SpGEMM (r5 profile: 1.26s
+    # of a 3.4s warm TC).  Batch up to 256 rows per step, bounded by a
+    # 4MB out tile.
+    R = 8
+    for cand in (256, 128, 64, 32, 16):
+        if e_pad % cand == 0 and cand * width * 4 <= (4 << 20):
+            R = cand
+            break
+
     def kern(ast_ref, wa_ref, bst_ref, wb_ref, a_ref, b_ref, o_ref):
-        base_e = pl.program_id(0).astype(jnp.int32) * 8
+        pid = pl.program_id(0).astype(jnp.int32)
         lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
 
-        def window(w, _):
-            w = w.astype(jnp.int32)
-            p0 = w * 128
-            wa0_rows, wa1_rows, wb0_rows, wb1_rows = [], [], [], []
-            sha_rows, shb_rows, war_rows, wbr_rows = [], [], [], []
-            for r in range(8):
-                e = base_e + r
-                ast, war = ast_ref[e], wa_ref[e]
-                bst, wbr = bst_ref[e], wb_ref[e]
-                ba = ast + p0
-                # clamp the window base so qa+1 stays in bounds by
-                # construction (wide buckets advance p0 past the row
-                # segment; those lanes are masked out below)
-                qa = jax.lax.clamp(0, ba >> 7, rows_a - 2)
-                wa0_rows.append(a_ref[pl.ds(qa, 1), :])
-                wa1_rows.append(a_ref[pl.ds(qa + 1, 1), :])
-                sha_rows.append(ba - qa * 128)
-                # B is laid out REVERSED at the END of the row: lane p
-                # reads B element (width-1-p); the row becomes BITONIC
-                # (A asc | pads asc | B desc), so a log2(width) bitonic
-                # merge replaces the full lane sort downstream.
-                bb = bst + (width - 1 - p0 - 127)
-                qb = jax.lax.clamp(0, bb >> 7, rows_b - 2)
-                wb0_rows.append(b_ref[pl.ds(qb, 1), :])
-                wb1_rows.append(b_ref[pl.ds(qb + 1, 1), :])
-                shb_rows.append(bb - qb * 128)
-                war_rows.append(war)
-                wbr_rows.append(wbr)
-            wa0 = jnp.concatenate(wa0_rows, axis=0)
-            wa1 = jnp.concatenate(wa1_rows, axis=0)
-            wb0 = jnp.concatenate(wb0_rows, axis=0)
-            wb1 = jnp.concatenate(wb1_rows, axis=0)
-            sha = jnp.stack(sha_rows).reshape(8, 1)
-            shb = jnp.stack(shb_rows).reshape(8, 1)
-            war = jnp.stack(war_rows).reshape(8, 1)
-            wbr = jnp.stack(wbr_rows).reshape(8, 1)
-            p = p0 + lane
-            la = sha + lane
-            ka = jnp.where(la < 128,
-                           jnp.take_along_axis(wa0, la & 127, axis=1),
-                           jnp.take_along_axis(wa1, la & 127, axis=1))
-            # o = width-1-p decreases with lane: o & 127 = 127 - lane
-            # + (shb base), covered by the same two-window select
-            lb = jax.lax.max(shb + (127 - lane), 0)
-            kb = jnp.where(lb < 128,
-                           jnp.take_along_axis(wb0, lb & 127, axis=1),
-                           jnp.take_along_axis(wb1, lb & 127, axis=1))
-            in_a = p < war
-            in_b = p >= width - wbr
-            o_ref[:, pl.ds(p0, 128)] = jnp.where(
-                in_a, ka * 2, jnp.where(in_b, kb * 2 + 1, sent + 2 * p))
+        def tile(t, _):
+            base_e = (pid * (R // 8) + t) * 8
+
+            def window(w, _):
+                w = w.astype(jnp.int32)
+                p0 = w * 128
+                wa0_rows, wa1_rows, wb0_rows, wb1_rows = [], [], [], []
+                sha_rows, shb_rows, war_rows, wbr_rows = [], [], [], []
+                for r in range(8):
+                    e = base_e + r
+                    ast, war = ast_ref[e], wa_ref[e]
+                    bst, wbr = bst_ref[e], wb_ref[e]
+                    ba = ast + p0
+                    # clamp the window base so qa+1 stays in bounds by
+                    # construction (wide buckets advance p0 past the
+                    # row segment; those lanes are masked out below)
+                    qa = jax.lax.clamp(0, ba >> 7, rows_a - 2)
+                    wa0_rows.append(a_ref[pl.ds(qa, 1), :])
+                    wa1_rows.append(a_ref[pl.ds(qa + 1, 1), :])
+                    sha_rows.append(ba - qa * 128)
+                    # B is laid out REVERSED at the END of the row:
+                    # lane p reads B element (width-1-p); the row
+                    # becomes BITONIC (A asc | pads asc | B desc), so a
+                    # log2(width) bitonic merge replaces the full lane
+                    # sort downstream.
+                    bb = bst + (width - 1 - p0 - 127)
+                    qb = jax.lax.clamp(0, bb >> 7, rows_b - 2)
+                    wb0_rows.append(b_ref[pl.ds(qb, 1), :])
+                    wb1_rows.append(b_ref[pl.ds(qb + 1, 1), :])
+                    shb_rows.append(bb - qb * 128)
+                    war_rows.append(war)
+                    wbr_rows.append(wbr)
+                wa0 = jnp.concatenate(wa0_rows, axis=0)
+                wa1 = jnp.concatenate(wa1_rows, axis=0)
+                wb0 = jnp.concatenate(wb0_rows, axis=0)
+                wb1 = jnp.concatenate(wb1_rows, axis=0)
+                sha = jnp.stack(sha_rows).reshape(8, 1)
+                shb = jnp.stack(shb_rows).reshape(8, 1)
+                war = jnp.stack(war_rows).reshape(8, 1)
+                wbr = jnp.stack(wbr_rows).reshape(8, 1)
+                p = p0 + lane
+                la = sha + lane
+                ka = jnp.where(la < 128,
+                               jnp.take_along_axis(wa0, la & 127, axis=1),
+                               jnp.take_along_axis(wa1, la & 127, axis=1))
+                # o = width-1-p decreases with lane: o & 127 = 127 -
+                # lane + (shb base), covered by the same two-window
+                # select
+                lb = jax.lax.max(shb + (127 - lane), 0)
+                kb = jnp.where(lb < 128,
+                               jnp.take_along_axis(wb0, lb & 127, axis=1),
+                               jnp.take_along_axis(wb1, lb & 127, axis=1))
+                in_a = p < war
+                in_b = p >= width - wbr
+                o_ref[pl.ds(t * 8, 8), pl.ds(p0, 128)] = jnp.where(
+                    in_a, ka * 2,
+                    jnp.where(in_b, kb * 2 + 1, sent + 2 * p))
+                return 0
+
+            jax.lax.fori_loop(0, nw, window, 0)
             return 0
 
         with jax.enable_x64(False):
-            jax.lax.fori_loop(0, nw, window, 0)
+            jax.lax.fori_loop(0, R // 8, tile, 0)
 
     with jax.enable_x64(False):
         return pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((e_pad, width), jnp.int32),
-            grid=(e_pad // 8,),
+            grid=(e_pad // R,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4 +
                      [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-            out_specs=pl.BlockSpec((8, width), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((R, width), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
         )(a_st, wa, b_st, wb, a_cols2, b_cols2)
+
+
+def _pallas_fill_merge_count(a_cols2, b_cols2, a_st, wa, b_st, wb,
+                             width):
+    """Fully fused pair-intersect: fill the side-tagged bitonic
+    (R, width) key layout into VMEM scratch (8-edge subtiles, slab
+    loads), bitonic-merge it IN PLACE, and emit only the per-edge
+    adjacent-match counts.
+
+    The unfused chain (fill kernel -> XLA merge stages -> count)
+    round-trips the (E, width) keys through HBM once per merge stage —
+    6.2 GB * ~5 passes for kron-16 TC, ~1.2s of pure bandwidth.  Here
+    the keys never leave VMEM and the merge/count phases run on
+    (R, 128) slabs (R up to 128 edges) so per-op issue overhead is
+    amortized 16x over the v1 8-row tiles (r5 bisect: 7 merge stages
+    at (8,128) cost 537ns/tile, over half the kernel)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    e_pad = a_st.shape[0]
+    nw = width // 128
+    sent = np.int32(1 << 30)
+    rows_a = a_cols2.shape[0]
+    rows_b = b_cols2.shape[0]
+
+    # R edges per grid step: scratch (R, width) int32 capped at 2MB
+    R = 8
+    for cand in (128, 64, 32, 16):
+        if e_pad % cand == 0 and cand * width * 4 <= (2 << 20):
+            R = cand
+            break
+
+    GW = min(nw, 8)  # windows per slab group (unrolled)
+    NG = nw // GW
+
+    def kern(ast_ref, wa_ref, bst_ref, wb_ref, a_ref, b_ref, o_ref,
+             scratch):
+        pid = pl.program_id(0).astype(jnp.int32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        lane_r = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+
+        # ---- phase A: slab fill, 8-edge subtiles ---------------------
+        def tile(t, _):
+            base_e = pid * R + t * 8
+            ast8, war8, bst8, wbr8 = [], [], [], []
+            for r in range(8):
+                e = base_e + r
+                ast8.append(ast_ref[e])
+                war8.append(wa_ref[e])
+                bst8.append(bst_ref[e])
+                wbr8.append(wb_ref[e])
+            war = jnp.stack(war8).reshape(8, 1)
+            wbr = jnp.stack(wbr8).reshape(8, 1)
+            sha = jnp.stack([a & 127 for a in ast8]).reshape(8, 1)
+            shb = jnp.stack([b & 127 for b in bst8]).reshape(8, 1)
+            idx_a = sha + lane            # in [0, 255)
+            idx_b = shb + (127 - lane)    # in [0, 255)
+
+            def group(g, _):
+                g = g.astype(jnp.int32)
+                la_rows, lb_rows = [], []
+                for r in range(8):
+                    qa = jax.lax.clamp(0, (ast8[r] >> 7) + g * GW,
+                                       rows_a - (GW + 1))
+                    la_rows.append(a_ref[pl.ds(qa, GW + 1), :])
+                    qb = jax.lax.clamp(
+                        0, (bst8[r] >> 7) + (NG - 1 - g) * GW,
+                        rows_b - (GW + 1))
+                    lb_rows.append(b_ref[pl.ds(qb, GW + 1), :])
+                for wl in range(GW):
+                    # A uses slab rows (wl, wl+1); B is reversed: local
+                    # window w = g*GW+wl reads global B rows
+                    # (nw-w-1, nw-w) = slab rows (GW-wl-1, GW-wl).
+                    # Mosaic gathers need idx.shape == operand.shape,
+                    # so gather each 128-lane half and select.
+                    a_lo = jnp.concatenate(
+                        [la_rows[r][wl:wl + 1, :] for r in range(8)],
+                        axis=0)
+                    a_hi = jnp.concatenate(
+                        [la_rows[r][wl + 1:wl + 2, :] for r in range(8)],
+                        axis=0)
+                    bl = GW - wl - 1
+                    b_lo = jnp.concatenate(
+                        [lb_rows[r][bl:bl + 1, :] for r in range(8)],
+                        axis=0)
+                    b_hi = jnp.concatenate(
+                        [lb_rows[r][bl + 1:bl + 2, :] for r in range(8)],
+                        axis=0)
+                    ia = idx_a & 127
+                    ka = jnp.where(
+                        idx_a < 128,
+                        jnp.take_along_axis(a_lo, ia, axis=1),
+                        jnp.take_along_axis(a_hi, ia, axis=1))
+                    ib = idx_b & 127
+                    kb = jnp.where(
+                        idx_b < 128,
+                        jnp.take_along_axis(b_lo, ib, axis=1),
+                        jnp.take_along_axis(b_hi, ib, axis=1))
+                    p = (g * GW + wl) * 128 + lane
+                    in_a = p < war
+                    in_b = p >= width - wbr
+                    scratch[pl.ds(t * 8, 8),
+                            pl.ds((g * GW + wl) * 128, 128)] = \
+                        jnp.where(in_a, ka * 2,
+                                  jnp.where(in_b, kb * 2 + 1,
+                                            sent + 2 * p))
+                return 0
+
+            jax.lax.fori_loop(0, NG, group, 0)
+            return 0
+
+        with jax.enable_x64(False):
+            jax.lax.fori_loop(0, R // 8, tile, 0)
+
+            # ---- phase B: inter-block bitonic-merge stages (s >= 128)
+            # on full (R, 128) slabs: compare-exchange lane-aligned
+            # blocks b and b^sblk ------------------------------------
+            sblk = nw // 2
+            while sblk >= 1:
+                m = sblk - 1
+
+                def pair(pi, _):
+                    pi = pi.astype(jnp.int32)
+                    b = ((pi & ~m) << 1) | (pi & m)
+                    x = scratch[:, pl.ds(b * 128, 128)]
+                    y = scratch[:, pl.ds((b | sblk) * 128, 128)]
+                    scratch[:, pl.ds(b * 128, 128)] = jnp.minimum(x, y)
+                    scratch[:, pl.ds((b | sblk) * 128, 128)] = \
+                        jnp.maximum(x, y)
+                    return 0
+
+                jax.lax.fori_loop(0, nw // 2, pair, 0)
+                sblk //= 2
+
+            # ---- phase C: per-block sort + match count on (R, 128)
+            # slabs.  XOR-shuffle stages via STATIC rolls + select:
+            # partner(lane) = lane^s is roll(-s) on lanes with bit s
+            # clear and roll(+s) on those with it set (no wrap crosses
+            # the selection) — no dynamic lane gather ----------------
+            def block(b, carry):
+                cnt, prev_last = carry
+                x = scratch[:, pl.ds(b * 128, 128)]
+                for s in (64, 32, 16, 8, 4, 2, 1):
+                    fwd = jnp.concatenate([x[:, s:], x[:, :s]], axis=1)
+                    bwd = jnp.concatenate([x[:, -s:], x[:, :-s]],
+                                          axis=1)
+                    y = jnp.where((lane_r & s) == 0, fwd, bwd)
+                    x = jnp.where((lane_r & s) == 0, jnp.minimum(x, y),
+                                  jnp.maximum(x, y))
+                match = (x[:, :-1] >> 1) == (x[:, 1:] >> 1)
+                cnt = cnt + jnp.sum(
+                    match.astype(jnp.int32), axis=1, keepdims=True)
+                cnt = cnt + ((prev_last >> 1) == (x[:, :1] >> 1)
+                             ).astype(jnp.int32)
+                return cnt, x[:, -1:]
+
+            cnt0 = jnp.zeros((R, 1), jnp.int32)
+            prev0 = jnp.full((R, 1), -1, jnp.int32)
+            cnt, _ = jax.lax.fori_loop(0, nw, block, (cnt0, prev0))
+            o_ref[:, :] = cnt
+
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((e_pad, 1), jnp.int32),
+            grid=(e_pad // R,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4 +
+                     [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec((R, 1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((R, width), jnp.int32)],
+        )(a_st, wa, b_st, wb, a_cols2, b_cols2)
+    return out[:, 0]
 
 
 def _bitonic_merge(x):
@@ -205,6 +397,54 @@ def _fill_chunk(a_cols2, b_cols2, a_st, wa, b_st, wb, lo, out_dtype,
     sl = lambda x: jax.lax.dynamic_slice(x, (lo,), (step,))
     return _fill_sort_count_body(a_cols2, b_cols2, sl(a_st), sl(wa),
                                  sl(b_st), sl(wb), out_dtype, width)
+
+
+def _bucket_counts_one(a_cols2, b_cols2, a_st, wa, b_st, wb, width,
+                       step, nchunks):
+    """One width bucket: lax.scan over its chunks (each fused
+    fill+merge+count), returning int32 match counts for nchunks*step
+    edges."""
+    import os as _os
+    fused = _os.environ.get("PYGB_PAIR_FUSED", "1") != "0"
+
+    def body(carry, lo):
+        sl = lambda x: jax.lax.dynamic_slice(x, (lo,), (step,))
+        if fused:
+            cnt = _pallas_fill_merge_count(
+                a_cols2, b_cols2, sl(a_st), sl(wa), sl(b_st), sl(wb),
+                width)
+            return carry, cnt
+        keys = _pallas_fill_keys(a_cols2, b_cols2, sl(a_st), sl(wa),
+                                 sl(b_st), sl(wb), width)
+        ks = _bitonic_merge(keys) if width <= 4096 \
+            else jax.lax.sort(keys, dimension=1)
+        match = (ks[:, :-1] >> 1) == (ks[:, 1:] >> 1)
+        return carry, jnp.sum(match.astype(jnp.int32), axis=1)
+
+    if nchunks == 1:
+        _, cnt = body(0, jnp.int32(0))
+        return cnt
+    _, cnts = jax.lax.scan(
+        body, 0, jnp.arange(nchunks, dtype=jnp.int32) * step)
+    return cnts.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _all_bucket_counts(a_cols2, b_cols2, ast_all, wa_all, bst_all,
+                       wb_all, spec):
+    """EVERY pair width bucket of a masked SpGEMM in ONE dispatch: the
+    per-bucket (a_st, wa, b_st, wb) arrays are concatenated into 4
+    device arrays (4 uploads instead of 4 per bucket — each upload
+    costs a tunnel round trip); `spec` is a static tuple of
+    (offset, width, step, nchunks) giving each bucket's slice."""
+    outs = []
+    for (off, width, step, nchunks) in spec:
+        npad = step * nchunks
+        sl = slice(off, off + npad)
+        outs.append(_bucket_counts_one(
+            a_cols2, b_cols2, ast_all[sl], wa_all[sl], bst_all[sl],
+            wb_all[sl], width, step, nchunks))
+    return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
 
 @partial(jax.jit, static_argnames=("semiring", "out_dtype", "width",
@@ -306,6 +546,15 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
     All index arrays are canonical (row-sorted) host numpy COO.  Returns
     (rows, cols, vals) of C restricted to present results.
     """
+    import os as _os
+    import time as _time
+    _prof = _os.environ.get("PYGB_SPGEMM_PROFILE") == "1"
+    _marks = [("start", _time.perf_counter())]
+
+    def _mark(name):
+        if _prof:
+            _marks.append((name, _time.perf_counter()))
+
     out_dtype = np.dtype(out_dtype)
     nmask = len(m_rows)
     if nmask == 0:
@@ -316,6 +565,7 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
     ub, sb, db = _csr_of(bt_rows, bt_cols, bt_vals)
     a_st, wa = _row_lookup(ua, sa, da, m_rows)
     b_st, wb = _row_lookup(ub, sb, db, m_cols)
+    _mark("csr+lookup")
     total = wa + wb
     out_vals = np.zeros(nmask, out_dtype)
     out_cnt = np.zeros(nmask, np.int64)
@@ -367,6 +617,7 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
 
     # bucket the rest by pow2 width; the (E, W) concat build runs on
     # device (host transfers are E-sized scalars + the COO arrays once)
+    _mark("heavy")
     light = ~heavy
     # pow2 width menu: measured better end-to-end than a coarser (x4)
     # menu — the wider sort kernels the coarse menu forces compile much
@@ -416,11 +667,20 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
                  and jax.default_backend() == "tpu")
     if pair_fast:
         def _as2d(cols):
-            ar = np.zeros((-(-(len(cols) + 128) // 128)) * 128, np.int32)
+            # +10 rows of tail padding: the fused kernel's slab loads
+            # read up to GW+1=9 rows past a segment's last window
+            ar = np.zeros((-(-(len(cols) + 1280) // 128)) * 128,
+                          np.int32)
             ar[:len(cols)] = cols.astype(np.int32)
             return jnp.asarray(ar.reshape(-1, 128))
         a_cols2 = _as2d(a_cols if len(a_cols) else np.zeros(1, np.int64))
         b_cols2 = _as2d(bt_cols if len(bt_cols) else np.zeros(1, np.int64))
+        # the fill kernel works in whole 128-lane windows: clamping the
+        # narrow buckets up to 128 pads their rows <=16x but keeps them
+        # on the Pallas fill+bitonic-merge path — measured ~100x faster
+        # than the XLA-gather generic bucket they otherwise take (the
+        # dominant warm cost of TC/k-truss, r5 profile)
+        widths = np.maximum(widths, 128)
 
     def _pow2_len(n, quantum):
         return max(quantum, _next_pow2(n))
@@ -430,6 +690,8 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
     # ~40 ms — the dominant warm-run cost before this batching).  Bucket
     # membership via one argsort instead of a nonzero() scan per width.
     parts = []          # (sel indices, pad_len, c_dev, cnt_dev, is_pair)
+    pair_sels = []      # per pair bucket: (sel indices, padded length)
+    pair_spec = []      # per pair bucket: (width, step, nchunks)
     light_idx = np.nonzero(light)[0]
     worder = np.argsort(widths[light_idx], kind="stable")
     wsorted = widths[light_idx][worder]
@@ -442,24 +704,14 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
         if pair_fast and w >= 128:  # kernel fills whole 128-lane windows
             # chunk: the per-edge scalar arrays live whole in SMEM
             step = min(32768, max(8, (1 << 21) // int(w)) * 8)
-            npad = -(-len(sel) // step) * step
+            nchunks = -(-len(sel) // step)
+            # pow2-pad the chunk count so shrinking iterative workloads
+            # (k-truss) reuse the (width, step, nchunks) executable
+            nchunks = _next_pow2(nchunks)
+            npad = nchunks * step
 
-            def _bpad(arr):
-                o = np.zeros(npad, np.int32)
-                o[:len(sel)] = arr
-                return jnp.asarray(o)
-
-            ast_b = _bpad(a_st[sel].astype(np.int32))
-            wa_b = _bpad(wa[sel].astype(np.int32))
-            bst_b = _bpad(b_st[sel].astype(np.int32))
-            wb_b = _bpad(wb[sel].astype(np.int32))
-            for lo in range(0, npad, step):
-                c, cnt = _fill_chunk(a_cols2, b_cols2, ast_b, wa_b,
-                                     bst_b, wb_b, lo,
-                                     np.dtype(out_dtype).str, int(w),
-                                     int(step))
-                parts.append((sel[lo:lo + step], step, c, cnt,
-                              True))
+            pair_sels.append((sel, npad))
+            pair_spec.append((int(w), int(step), int(nchunks)))
             continue
         e_p2 = _pow2_len(len(sel), 8)
 
@@ -484,12 +736,38 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
             semiring, out_dtype, int(w), bool(narrow))
         parts.append((sel, e_p2, c, cnt, False))
 
+    if pair_spec:
+        # concatenate every bucket's scalar arrays into 4 uploads
+        total_pad = sum(npad for _, npad in pair_sels)
+        ast_all = np.zeros(total_pad, np.int32)
+        wa_all = np.zeros(total_pad, np.int32)
+        bst_all = np.zeros(total_pad, np.int32)
+        wb_all = np.zeros(total_pad, np.int32)
+        spec2 = []
+        off = 0
+        for (sel, npad), (w, step, nchunks) in zip(pair_sels, pair_spec):
+            ast_all[off:off + len(sel)] = a_st[sel]
+            wa_all[off:off + len(sel)] = wa[sel]
+            bst_all[off:off + len(sel)] = b_st[sel]
+            wb_all[off:off + len(sel)] = wb[sel]
+            spec2.append((off, w, step, nchunks))
+            off += npad
+        cnt_all_pair = _all_bucket_counts(
+            a_cols2, b_cols2, jnp.asarray(ast_all), jnp.asarray(wa_all),
+            jnp.asarray(bst_all), jnp.asarray(wb_all), tuple(spec2))
+        off = 0
+        for (sel, npad) in pair_sels:
+            parts.append((sel, npad, None,
+                          cnt_all_pair[off:off + npad], True))
+            off += npad
+    _mark("bucket_dispatch")
     if parts:
         # pair chunks never pull c: the products are all 1, so the PLUS
         # value IS the int32 match count (and idempotent monoids only
         # need cnt > 0) — for TC/k-truss the whole result is ONE int32
         # transfer
         cnt_all = np.asarray(jnp.concatenate([p[3] for p in parts]))
+        _mark("device_sync_pull")
         gen_parts = [p for p in parts if not p[4]]
         c_gen = np.asarray(jnp.concatenate(
             [p[2].astype(out_dtype) for p in gen_parts])) \
@@ -510,4 +788,11 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
             off += pad_len
 
     present = out_cnt > 0
+    if _prof:
+        _mark("scatter")
+        import sys as _sys
+        line = " ".join(f"{n}={t1 - t0:.3f}" for (n, t1), (_, t0)
+                        in zip(_marks[1:], _marks[:-1]))
+        print(f"# spgemm_profile nmask={nmask} nparts={len(parts)} "
+              f"{line}", file=_sys.stderr, flush=True)
     return (m_rows[present], m_cols[present], out_vals[present])
