@@ -117,6 +117,91 @@ def rmat(scale, edgefactor=8, seed=1):
     return n, rows, cols
 
 
+def measure_overlap(n=1024, nnz=20000, seed=0):
+    """MEASURED comm/compute overlap (VERDICT r4 next #3): AOT-compile
+    the library's actual ring triangle-count kernel for a REAL
+    v5e:2x4 8-chip TPU topology (no hardware needed — the compiler
+    service accepts topology descriptions) and inspect the optimized
+    schedule: every `collective-permute-start` should be separated
+    from its `-done` by local compute instructions, i.e. XLA's
+    latency-hiding scheduler overlaps the ring permute with the local
+    intersect work.  Returns schedule statistics; this replaces the
+    'assume overlapped' flag in the ICI model with evidence."""
+    from pygraphblas_tpu.parallel.dist import make_mesh, \
+        dist_triangle_count
+
+    try:
+        from jax.experimental import topologies
+        topo = topologies.get_topology_desc("v5e:2x4", platform="tpu")
+    except Exception as e:  # no compiler service: skip, don't fail
+        return {"error": f"tpu topology unavailable: {e!r}"}
+    from jax.sharding import Mesh
+    tmesh = Mesh(np.array(topo.devices), ("p",))
+
+    captured = []
+    orig = jax.shard_map
+
+    def cap(f, mesh=None, in_specs=None, out_specs=None, **kw):
+        sm = orig(f, mesh=mesh, in_specs=in_specs,
+                  out_specs=out_specs, **kw)
+
+        def wrapper(*a):
+            captured.append((f, in_specs, out_specs, tuple(
+                jax.ShapeDtypeStruct(x.shape, x.dtype) for x in a)))
+            return sm(*a)
+
+        return wrapper
+
+    rng = np.random.RandomState(seed)
+    r = rng.randint(0, n, nnz)
+    c = rng.randint(0, n, nnz)
+    keep = r != c
+    keys = np.unique(r[keep] * n + c[keep])
+    r, c = keys // n, keys % n
+    jax.shard_map = cap
+    try:
+        dist_triangle_count(make_mesh(8), n,
+                            np.concatenate([r, c]),
+                            np.concatenate([c, r]))
+    finally:
+        jax.shard_map = orig
+    f, ins, outs, shapes = captured[-1]
+    comp = jax.jit(orig(f, mesh=tmesh, in_specs=ins,
+                        out_specs=outs)).lower(*shapes).compile()
+    lines = comp.as_text().splitlines()
+    starts = [i for i, l in enumerate(lines)
+              if "collective-permute-start" in l]
+    dones = [i for i, l in enumerate(lines)
+             if "collective-permute-done" in l]
+    pairs = []
+    for s in starts:
+        later = [x for x in dones if x > s]
+        if not later:
+            continue
+        d = min(later)
+        between = lines[s + 1:d]
+        comp_n = sum(1 for l in between if re.search(
+            r"(sort|fusion|reduce|dynamic-slice|gather|add|multiply|"
+            r"select|compare)", l))
+        pairs.append({"start_line": s, "done_line": d,
+                      "instrs_between": d - s - 1,
+                      "compute_between": comp_n})
+    overlapped = [p for p in pairs if p["compute_between"] > 0]
+    return {
+        "topology": "v5e:2x4 (AOT schedule)",
+        "kernel": "dist_triangle_count ring (lax.ppermute circulation)",
+        "permute_start_done_pairs": len(pairs),
+        "pairs_with_compute_between": len(overlapped),
+        "mean_instrs_between": (sum(p["instrs_between"] for p in pairs)
+                                / len(pairs)) if pairs else 0,
+        "mean_compute_between": (sum(p["compute_between"]
+                                     for p in pairs)
+                                 / len(pairs)) if pairs else 0,
+        "overlap_demonstrated": bool(overlapped),
+        "pairs": pairs[:8],
+    }
+
+
 def main(scale=16):
     from functools import partial
 
@@ -213,6 +298,15 @@ def main(scale=16):
         tc_s = time.time() - t0
         record["dist_tc_P8"] = {"triangles": int(tc), "seconds": tc_s}
         print(f"dist TC (P=8): {tc} triangles in {tc_s:.1f}s")
+
+    record["measured_overlap"] = measure_overlap()
+    mo = record["measured_overlap"]
+    if "error" not in mo:
+        print(f"measured overlap (v5e:2x4 AOT schedule): "
+              f"{mo['pairs_with_compute_between']}/"
+              f"{mo['permute_start_done_pairs']} permute pairs have "
+              f"compute scheduled between start and done "
+              f"(mean {mo['mean_compute_between']:.0f} compute instrs)")
 
     out = Path(__file__).parent / "SCALING.json"
     out.write_text(json.dumps(record, indent=1))
