@@ -173,6 +173,12 @@ def run_doctests(raise_on_error=False):
     from . import matrix as matrix_module
     from . import vector as vector_module
     from . import base as base_module
+    from . import scalar as scalar_module
+    from . import monoid as monoid_module
+    from . import semiring as semiring_module
+    from . import types as types_module
+    from . import gviz as gviz_module
+    from . import algorithms as algorithms_module
 
     this = sys.modules[__name__]
     failures = 0
@@ -183,6 +189,12 @@ def run_doctests(raise_on_error=False):
         binaryop,
         matrix_module,
         vector_module,
+        scalar_module,
+        monoid_module,
+        semiring_module,
+        types_module,
+        gviz_module,
+        algorithms_module,
         descriptor,
         base_module,
     ):

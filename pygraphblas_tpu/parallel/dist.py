@@ -63,26 +63,106 @@ _MULS = {
     "TIMES": lambda a, x: a * x,
     "PLUS": lambda a, x: a + x,
     "MINUS": lambda a, x: a - x,
+    "RMINUS": lambda a, x: x - a,
     "DIV": lambda a, x: a / x,
+    "RDIV": lambda a, x: x / a,
     "MIN": jnp.minimum,
     "MAX": jnp.maximum,
     "SECOND": lambda a, x: x,
     "FIRST": lambda a, x: a,
+    "ANY": lambda a, x: x,
     "PAIR": lambda a, x: jnp.ones_like(x),
     "LAND": lambda a, x: jnp.logical_and(a != 0, x != 0),
     "LOR": lambda a, x: jnp.logical_or(a != 0, x != 0),
+    "LXOR": lambda a, x: jnp.logical_xor(a != 0, x != 0),
+    "EQ": lambda a, x: a == x,
+    "NE": lambda a, x: a != x,
+    "GT": lambda a, x: a > x,
+    "LT": lambda a, x: a < x,
+    "GE": lambda a, x: a >= x,
+    "LE": lambda a, x: a <= x,
+    # IS* return values of the operand type (reference semantics)
+    "ISEQ": lambda a, x: (a == x).astype(a.dtype),
+    "ISNE": lambda a, x: (a != x).astype(a.dtype),
+    "ISGT": lambda a, x: (a > x).astype(a.dtype),
+    "ISLT": lambda a, x: (a < x).astype(a.dtype),
+    "ISGE": lambda a, x: (a >= x).astype(a.dtype),
+    "ISLE": lambda a, x: (a <= x).astype(a.dtype),
+    "BOR": lambda a, x: a | x,
+    "BAND": lambda a, x: a & x,
+    "BXOR": lambda a, x: a ^ x,
 }
+
+# positional muls: value = an index of the product term (reference
+# FIRSTI/SECONDJ family); resolved inside tile_spmv with GLOBAL
+# coordinates (local index + axis_index * block)
+_POS_MULS = ("FIRSTI", "FIRSTI1", "FIRSTJ", "FIRSTJ1",
+             "SECONDI", "SECONDI1", "SECONDJ", "SECONDJ1")
+
+
+def _segment_bitfold(kind):
+    """Bitwise segment folds (BOR/BAND/BXOR) by per-bit decomposition:
+    bit b of the fold is a segment max / min / parity of bit b."""
+    def fold(d, s, num_segments):
+        dt = d.dtype
+        bits = dt.itemsize * 8
+        out = jnp.zeros(num_segments, dt)
+        one = jnp.ones((), dt)
+        for b in range(bits):
+            db = (d >> b) & one
+            if kind == "BOR":
+                yb = jax.ops.segment_max(db, s, num_segments)
+            elif kind == "BAND":
+                yb = jax.ops.segment_min(db, s, num_segments)
+            else:  # BXOR: parity
+                yb = jax.ops.segment_sum(db, s, num_segments) & one
+            # clip maps EMPTY-segment fill values (dtype min for max,
+            # dtype max for min) onto the bit identities (0 / 1)
+            yb = jnp.clip(yb, 0, 1)
+            out = out | (yb.astype(dt) << b)
+        return out
+    return fold
+
 
 _ADDS = {
     "PLUS": jax.ops.segment_sum,
     "MIN": jax.ops.segment_min,
     "MAX": jax.ops.segment_max,
+    "ANY": jax.ops.segment_max,   # ANY may return any contribution
     "TIMES": jax.ops.segment_prod,
     "LOR": lambda d, s, num_segments: jax.ops.segment_max(
-        d.astype(jnp.int8), s, num_segments) > 0,
+        (d != 0).astype(jnp.int8), s, num_segments) > 0,
     "LAND": lambda d, s, num_segments: jax.ops.segment_min(
-        d.astype(jnp.int8), s, num_segments) > 0,
+        (d != 0).astype(jnp.int8), s, num_segments) > 0,
+    "LXOR": lambda d, s, num_segments: (jax.ops.segment_sum(
+        (d != 0).astype(jnp.int32), s, num_segments) & 1) > 0,
+    "BOR": _segment_bitfold("BOR"),
+    "BAND": _segment_bitfold("BAND"),
+    "BXOR": _segment_bitfold("BXOR"),
 }
+
+
+def _bitwise_coll(kind):
+    """Bitwise cross-device combines by per-bit named collectives
+    (pmax/pmin/psum are statically replication-invariant under
+    shard_map, unlike an all-gather + local fold)."""
+    def coll(y, ax):
+        dt = y.dtype
+        bits = dt.itemsize * 8
+        one = jnp.ones((), dt)
+        out = None  # built only from collective outputs: stays
+        for b in range(bits):  # replication-invariant under shard_map
+            yb = (y >> b) & one
+            if kind == "BOR":
+                rb = jax.lax.pmax(yb, ax)
+            elif kind == "BAND":
+                rb = jax.lax.pmin(yb, ax)
+            else:  # BXOR
+                rb = jax.lax.psum(yb, ax) & one
+            out = (rb << b) if out is None else out | (rb << b)
+        return out
+    return coll
+
 
 # cross-device combines per add monoid: named collectives where they
 # exist, all-gather + local fold otherwise
@@ -90,11 +170,21 @@ _COLLECTIVES = {
     "PLUS": lambda y, ax: jax.lax.psum(y, ax),
     "MIN": lambda y, ax: jax.lax.pmin(y, ax),
     "MAX": lambda y, ax: jax.lax.pmax(y, ax),
+    "ANY": lambda y, ax: jax.lax.pmax(y, ax),
     "LOR": lambda y, ax: jax.lax.pmax(y.astype(jnp.int8), ax) > 0,
     "LAND": lambda y, ax: jax.lax.pmin(y.astype(jnp.int8), ax) > 0,
+    "LXOR": lambda y, ax: (jax.lax.psum(
+        y.astype(jnp.int32), ax) & 1) > 0,
     "TIMES": lambda y, ax: jnp.prod(
         jax.lax.all_gather(y, ax), axis=0),
+    "BOR": _bitwise_coll("BOR"),
+    "BAND": _bitwise_coll("BAND"),
+    "BXOR": _bitwise_coll("BXOR"),
 }
+
+# ANY as a mul means "either operand"; ANY as an add means "any one
+# contribution".  For the masked-dot ring tier the mul table above is
+# shared; adds are restricted to what reduce_fn supports there.
 
 
 def resolve_ops(semiring):
@@ -102,10 +192,18 @@ def resolve_ops(semiring):
     distributed table; raises for unsupported algebras."""
     add = semiring.add_monoid.binaryop
     mul = semiring.mul_op
-    if not (add.builtin and mul.builtin) or mul.positional:
+    if not (add.builtin and mul.builtin):
         raise NotImplementedError(
-            f"distributed tier supports builtin non-positional semirings; "
+            f"distributed tier supports builtin semirings; "
             f"got {semiring.name}")
+    if mul.positional:
+        key, off = mul.positional
+        name = {"i0": "FIRSTI", "j0": "FIRSTJ", "i1": "SECONDI",
+                "j1": "SECONDJ"}[key] + ("1" if off else "")
+        if add.op not in _ADDS:
+            raise NotImplementedError(
+                f"distributed op table has no add {add.op}")
+        return add.op, name
     if add.op not in _ADDS or mul.op not in _MULS:
         raise NotImplementedError(
             f"distributed op table has no {add.op}_{mul.op}")
@@ -201,9 +299,11 @@ class DistSpMV:
 
     def _build(self):
         add = _ADDS[self.add]
-        mul = _MULS[self.mul]
         comb = _COLLECTIVES[self.add]
-        rb = self.rb
+        rb, cb = self.rb, self.cb
+        mul_name = self.mul
+        pos = mul_name in _POS_MULS
+        mul = None if pos else _MULS[mul_name]
 
         def tile_spmv(rows_l, cols_l, vals_l, x):
             # local tile: gather + mul + segment-reduce, then combine over j
@@ -211,7 +311,25 @@ class DistSpMV:
             cols_t = cols_l[0, 0]
             vals_t = vals_l[0, 0]
             xg = x[cols_t]
-            prod = mul(vals_t, xg)
+            if pos:
+                # positional semirings: the product is an index of the
+                # term; GLOBAL coordinates = local + device block
+                # offset (mesh axis_index), so results are
+                # partitioning-invariant
+                gi = (rows_t.astype(vals_t.dtype)
+                      + jax.lax.axis_index("i").astype(vals_t.dtype)
+                      * rb)
+                gj = (cols_t.astype(vals_t.dtype)
+                      + jax.lax.axis_index("j").astype(vals_t.dtype)
+                      * cb)
+                base = {"FIRSTI": gi, "FIRSTJ": gj, "SECONDI": gj,
+                        "SECONDJ": jnp.zeros_like(gj)}[
+                            mul_name.rstrip("1")]
+                prod = base + (1 if mul_name.endswith("1") else 0)
+            else:
+                prod = mul(vals_t, xg)
+            if prod.dtype != vals_t.dtype:  # boolean muls (EQ/GT/...)
+                prod = prod.astype(vals_t.dtype)
             y = add(prod, rows_t, num_segments=rb + 1)[:rb]
             return comb(y, "j")
 
@@ -837,9 +955,49 @@ class DistVector:
     def ewise(self, other, op=lambda a, b: a + b):
         """Elementwise combine with another DistVector (sharding
         preserved; runs on device)."""
+        if isinstance(op, str):
+            op = _MULS[op]
         data = jax.jit(op)(self.data, other.data)
         return DistVector(self.mesh, self.n, data, self.spec, self.type,
                           self.rank)
+
+    # distributed eadd: dense-resident vectors make add and mult the
+    # same elementwise combine (VERDICT r4 next #7)
+    eadd = ewise
+    emult = ewise
+
+    def apply(self, op):
+        """Elementwise unary apply on the sharded data (op: callable or
+        a builtin unary name like "AINV"/"ABS"/"MINV"/"LNOT").
+
+        GAP-style pipelines stay mesh-resident: no host round trip."""
+        table = {
+            "IDENTITY": lambda a: a,
+            "AINV": lambda a: -a,
+            "ABS": jnp.abs,
+            "MINV": lambda a: 1 / a,
+            "LNOT": lambda a: (a == 0).astype(a.dtype),
+            "ONE": jnp.ones_like,
+        }
+        fn = table[op] if isinstance(op, str) else op
+        data = jax.jit(fn)(self.data)
+        return DistVector(self.mesh, self.n, data, self.spec, self.type,
+                          self.rank)
+
+    def reduce(self, add="PLUS"):
+        """Full reduction under a builtin add monoid; returns a Python
+        scalar.  Padded slots hold the fill value, so MIN/MAX/PLUS on
+        padded tails are only safe when fill is the monoid identity —
+        reduce over the logical prefix instead."""
+        y = self.to_numpy()
+        fns = {"PLUS": np.sum, "MIN": np.min, "MAX": np.max,
+               "TIMES": np.prod,
+               "LOR": lambda a: bool((a != 0).any()),
+               "LAND": lambda a: bool((a != 0).all()),
+               "BOR": np.bitwise_or.reduce,
+               "BAND": np.bitwise_and.reduce,
+               "BXOR": np.bitwise_xor.reduce}
+        return self.type._to_value(fns[add](y))
 
     def reduce_float(self):
         return float(jnp.sum(self.data))

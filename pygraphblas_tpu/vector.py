@@ -866,6 +866,8 @@ class Vector:
         """
         if _is_int(index):
             return self.extract_element(index)
+        if not isinstance(index, (slice, list, np.ndarray, Vector)):
+            raise TypeError(f"bad Vector index: {type(index)}")
         return self.extract(index)
 
     def __delitem__(self, index):

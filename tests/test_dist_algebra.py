@@ -1,0 +1,124 @@
+"""Distributed algebra conformance: the widened DistSpMV op table
+(VERDICT r4 next #7) swept against the single-chip Matrix.mxv oracle on
+the 8-device virtual mesh, including positional semirings."""
+
+import numpy as np
+import pytest
+
+from pygraphblas_tpu import Matrix, Vector, types
+from pygraphblas_tpu.parallel.dist import (DistSpMV, make_mesh, _MULS,
+                                           _ADDS, _POS_MULS)
+
+N = 40
+NNZ = 160
+
+
+def _graph(seed=3):
+    rng = np.random.RandomState(seed)
+    r = rng.randint(0, N, NNZ)
+    c = rng.randint(0, N, NNZ)
+    keys = np.unique(r.astype(np.int64) * N + c)
+    r, c = keys // N, keys % N
+    v = rng.randint(1, 8, len(r)).astype(np.int64)
+    x = rng.randint(1, 8, N).astype(np.int64)
+    return r, c, v, x
+
+
+def _oracle(r, c, v, x, add, mul):
+    """Dense reference semiring SpMV."""
+    prods = {
+        "TIMES": v * x[c], "PLUS": v + x[c], "MINUS": v - x[c],
+        "RMINUS": x[c] - v, "MIN": np.minimum(v, x[c]),
+        "MAX": np.maximum(v, x[c]), "FIRST": v, "SECOND": x[c],
+        "ANY": x[c], "PAIR": np.ones_like(v),
+        "LOR": ((v != 0) | (x[c] != 0)).astype(np.int64),
+        "LAND": ((v != 0) & (x[c] != 0)).astype(np.int64),
+        "LXOR": ((v != 0) ^ (x[c] != 0)).astype(np.int64),
+        "ISEQ": (v == x[c]).astype(np.int64),
+        "ISNE": (v != x[c]).astype(np.int64),
+        "ISGT": (v > x[c]).astype(np.int64),
+        "ISLT": (v < x[c]).astype(np.int64),
+        "ISGE": (v >= x[c]).astype(np.int64),
+        "ISLE": (v <= x[c]).astype(np.int64),
+        "BOR": v | x[c], "BAND": v & x[c], "BXOR": v ^ x[c],
+        "EQ": (v == x[c]).astype(np.int64),
+        "NE": (v != x[c]).astype(np.int64),
+        "GT": (v > x[c]).astype(np.int64),
+        "LT": (v < x[c]).astype(np.int64),
+        "GE": (v >= x[c]).astype(np.int64),
+        "LE": (v <= x[c]).astype(np.int64),
+        "FIRSTI": r, "FIRSTI1": r + 1, "FIRSTJ": c, "FIRSTJ1": c + 1,
+        "SECONDI": c, "SECONDI1": c + 1,
+        "SECONDJ": np.zeros_like(c), "SECONDJ1": np.ones_like(c),
+    }[mul]
+    folds = {
+        "PLUS": lambda a: a.sum(), "MIN": lambda a: a.min(),
+        "MAX": lambda a: a.max(), "TIMES": lambda a: a.prod(),
+        "ANY": lambda a: a.max(),
+        "LOR": lambda a: int((a != 0).any()),
+        "LAND": lambda a: int((a != 0).all()),
+        "LXOR": lambda a: int((a != 0).sum() & 1),
+        "BOR": lambda a: np.bitwise_or.reduce(a),
+        "BAND": lambda a: np.bitwise_and.reduce(a),
+        "BXOR": lambda a: np.bitwise_xor.reduce(a),
+    }
+    y = {}
+    for i in range(N):
+        sel = r == i
+        if sel.any():
+            y[i] = int(folds[add](prods[sel].astype(np.int64)))
+    return y
+
+
+MULS = sorted(set(_MULS) - {"DIV", "RDIV"}) + list(_POS_MULS)
+ADDS = ["PLUS", "MIN", "MAX", "LOR", "LAND", "BOR", "BXOR"]
+
+# CI sweeps a CROSS of the table, not the full product (the full
+# 7x34 sweep compiles ~270 executables, ~15 min on the virtual mesh;
+# it passed once in round 5 — rerun by parametrizing ADDS x MULS):
+# every mul against PLUS, every add against TIMES and a positional,
+# plus bitwise spot checks.
+_CASES = ([("PLUS", m) for m in MULS]
+          + [(a, "TIMES") for a in ADDS]
+          + [(a, "FIRSTI1") for a in ("MIN", "MAX", "BOR")]
+          + [("BOR", "MINUS"), ("BXOR", "BXOR"), ("LAND", "ISGE")])
+
+
+def _run_case(add, mul, r, c, v, x, mesh):
+    import jax
+
+    spmv = DistSpMV(mesh, N, N, r, c, v, add=add, mul=mul,
+                    dtype=np.int64)
+    xd = jax.device_put(
+        np.pad(x, (0, spmv.ncols_p - N)), spmv.x_spec)
+    y = np.asarray(spmv(xd))[:N]
+    want = _oracle(r, c, v, x, add, mul)
+    got = {i: int(y[i]) for i in want}
+    assert got == want, (add, mul)
+
+
+@pytest.mark.parametrize("add,mul", _CASES)
+def test_dist_spmv_algebra_cross(add, mul):
+    """The widened distributed op table (incl. positional semirings)
+    matches the dense oracle on the 8-device mesh."""
+    r, c, v, x = _graph()
+    _run_case(add, mul, r, c, v, x, make_mesh(8))
+
+
+def test_dist_vector_apply_reduce_eadd():
+    from pygraphblas_tpu.parallel.dist import DistVector
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(8)
+    spec = NamedSharding(mesh, P(None))
+    a = DistVector.dense(mesh, 10, 16, 3, types.INT64, spec)
+    b = DistVector.dense(mesh, 10, 16, 4, types.INT64, spec)
+    s = a.eadd(b, "PLUS")
+    assert s.to_numpy().tolist() == [7] * 10
+    m = a.emult(b, "TIMES")
+    assert m.to_numpy().tolist() == [12] * 10
+    n = a.apply("AINV")
+    assert n.to_numpy().tolist() == [-3] * 10
+    assert a.apply(lambda z: z * 10).reduce("PLUS") == 300
+    assert b.reduce("MAX") == 4
+    assert a.reduce("BOR") == 3

@@ -282,3 +282,120 @@ def test_cast_bitmap_and_coo():
     h[123] = 7
     hc = h.cast(types.FP32)
     assert hc.type is types.FP32 and hc.to_lists() == [[123], [7.0]]
+
+
+# ---------------------------------------------------------------------------
+# scalar-broadcast operator matrix + error paths (reference
+# tests/test_vector.py:414-560, expressed as parametrized tables)
+# ---------------------------------------------------------------------------
+
+import operator as _op
+
+_SCALAR_OP_CASES = [
+    # (values, op, scalar, reflected, expected)
+    ([5, 1], _op.add, 3, False, [8, 4]),
+    ([5, 1], _op.add, 3, True, [8, 4]),
+    ([5, 1], _op.sub, 3, False, [2, -2]),
+    ([5, 1], _op.sub, 3, True, [-2, 2]),
+    ([5, 1], _op.mul, 3, False, [15, 3]),
+    ([5, 1], _op.mul, 3, True, [15, 3]),
+    ([15, 3], _op.truediv, 3, False, [5, 1]),
+    ([3, 5], _op.truediv, 15, True, [5, 3]),
+]
+
+
+@pytest.mark.parametrize("vals,op,s,reflected,want", _SCALAR_OP_CASES)
+def test_scalar_broadcast_ops(vals, op, s, reflected, want):
+    v = Vector.from_lists([0, 1], vals)
+    w = op(s, v) if reflected else op(v, s)
+    assert w.to_lists() == [[0, 1], want]
+
+
+@pytest.mark.parametrize("iop,vals,s,want", [
+    (_op.iadd, [5, 1], 3, [8, 4]),
+    (_op.isub, [5, 1], 3, [2, -2]),
+    (_op.imul, [5, 1], 3, [15, 3]),
+    (_op.itruediv, [15, 3], 3, [5, 1]),
+])
+def test_scalar_inplace_ops(iop, vals, s, want):
+    v = Vector.from_lists([0, 1], vals)
+    v = iop(v, s)
+    assert v.to_lists() == [[0, 1], want]
+
+
+def test_bitwise_eadd():
+    u = Vector.from_lists([1], [5], typ=types.UINT64)
+    w = u.eadd(Vector.from_lists([1], [9], typ=types.UINT64),
+               u.type.BOR)
+    assert w[1] == 5 | 9
+    w = u.eadd(Vector.from_lists([1], [9], typ=types.UINT64),
+               u.type.BAND)
+    assert w[1] == 5 & 9
+    w = u.eadd(Vector.from_lists([1], [9], typ=types.UINT64),
+               u.type.BXOR)
+    assert w[1] == 5 ^ 9
+
+
+def test_vector_wait_assign_all():
+    v = Vector.sparse(types.UINT8, 10)
+    v[:] = 1
+    v.wait()
+    assert v.nvals == 10 and v[7] == 1
+
+
+def test_vector_delitem_and_errors():
+    v = Vector.from_lists([0, 1], [4, 2])
+    assert len(v) == 2
+    del v[0]
+    assert len(v) == 1 and v[1] == 2
+    with pytest.raises(TypeError):
+        del v[""]
+
+
+def test_apply_first_second_scalar_operand():
+    from pygraphblas_tpu import Scalar
+
+    m = Vector.from_lists([0, 1], [4, 2])
+    assert m.apply_first(2, types.INT8.PLUS).to_lists() == [[0, 1], [6, 4]]
+    assert m.apply_first(Scalar.from_value(2),
+                         types.INT8.PLUS).to_lists() == [[0, 1], [6, 4]]
+    m = Vector.from_lists([0, 1], [5, 1])
+    assert m.apply_second(types.INT8.MINUS, 2).to_lists() == [[0, 1], [3, -1]]
+    assert m.apply_second(types.INT8.MINUS,
+                          Scalar.from_value(2)).to_lists() == [[0, 1], [3, -1]]
+
+
+def test_strided_slicing_both_directions():
+    v = Vector.from_1_to_n(10)
+    assert v[1:9:3].iseq(Vector.from_lists([0, 1, 2], [2, 5, 8]))
+    assert len(v[1:9:-3]) == 0
+    assert v[9:1:-3].iseq(Vector.from_lists([0, 1, 2], [10, 7, 4]))
+    assert len(v[9:1:3]) == 0
+
+
+def test_str_repr_bool_render():
+    m = Vector.from_lists([0, 1], [4, 2], typ=types.INT8)
+    assert str(m) == "0| 4\n1| 2"
+    b = Vector.from_lists([0, 1], [True, True])
+    assert str(b) == "0| t\n1| t"
+    assert repr(b) == "<Vector(BOOL size: 2, nvals: 2)>"
+
+
+def test_nonzero_neg_abs_truthiness():
+    m = Vector.from_lists([0, 1], [0, 2])
+    assert m.nonzero().iseq(Vector.from_lists([1], [2]))
+    assert (-m).iseq(Vector.from_lists([0, 1], [0, -2]))
+    m2 = Vector.from_lists([0, 1], [0, -2])
+    assert abs(m2).iseq(Vector.from_lists([0, 1], [0, 2]))
+    m2.clear()
+    assert not m2
+
+
+def test_indexing_error_paths():
+    v = Vector.from_list([1, 2, 3])
+    with pytest.raises(InvalidIndex):
+        v.extract_element(5)
+    with pytest.raises(NoValue):
+        Vector.from_lists([0], [1], 4).extract_element(2)
+    with pytest.raises(TypeError):
+        v[object()]
