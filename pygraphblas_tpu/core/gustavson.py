@@ -62,7 +62,16 @@ def _dense_ok(semiring, out_dtype, kc):
     return False
 
 
-def dense_spgemm(ra, ca, va, rb, cb, vb, semiring, out_dtype):
+def _sample_distinct_lb(arr, k=4096):
+    """Cheap LOWER bound on the number of distinct values: distinct
+    count of a k-element stride sample (never overestimates)."""
+    if len(arr) <= k:
+        return len(np.unique(arr))
+    return len(np.unique(arr[:: max(1, len(arr) // k)][:k]))
+
+
+def dense_spgemm(ra, ca, va, rb, cb, vb, semiring, out_dtype,
+                 dims=None):
     """Compact-densify tier: relabel the present rows/inner/cols spaces,
     scatter both operands into dense (Mc,Kc)/(Kc,Nc) device arrays, and
     ride the MXU through core/dense.py's semiring matmul.  On this
@@ -73,6 +82,17 @@ def dense_spgemm(ra, ca, va, rb, cb, vb, semiring, out_dtype):
     from . import dense as dk
 
     out_dtype = np.dtype(out_dtype)
+    # cheap pre-reject BEFORE the O(nnz log nnz) relabel: sampled lower
+    # bounds on the compact dims (the full relabel of a 4M-nnz operand
+    # costs seconds and was paid per call even when this tier then
+    # rejected — the r5 hyperdnn profile)
+    budget = config.spgemm_dense_cells
+    mc_lb = _pow2(_sample_distinct_lb(ra))
+    kc_lb = _pow2(max(_sample_distinct_lb(ca), _sample_distinct_lb(rb)))
+    nc_lb = _pow2(_sample_distinct_lb(cb))
+    if mc_lb * kc_lb > budget or kc_lb * nc_lb > budget \
+            or mc_lb * nc_lb > budget:
+        return None
     (ur, ri), (uk, ka, kb), (uc, ci) = _relabel(ra, ca, rb, cb)
     mc = _pow2(len(ur))
     kc = _pow2(len(uk))
@@ -157,14 +177,20 @@ def pattern(ra, ca, rb, cb):
 _SCIPY_MULS = ("TIMES", "FIRST", "SECOND", "PAIR")
 
 
-def spgemm(ra, ca, va, rb, cb, vb, semiring, out_dtype):
+def spgemm(ra, ca, va, rb, cb, vb, semiring, out_dtype, dims=None):
     """C = A (+.x) B, unmasked, canonical COO in, canonical COO out.
 
     Engine dispatch (``options_set(spgemm_engine=...)``): "auto" tries
     the compact-dense MXU tier, then the device expand/sort/compact
     pipeline (core/esc.py; on TPU only — its host fallback loses to
     scipy on CPU), then the host two-phase path below; "dense"/"esc"/
-    "scipy" force a tier."""
+    "scipy" force a tier.
+
+    `dims` = (nrows_a, inner, ncols_b) logical dims when known: small
+    dims skip the O(nnz log nnz) index-compaction relabel entirely
+    (it exists for 2^60 hypersparse spaces; for ordinary dims scipy
+    handles original indices directly — the relabel dominated
+    hyperdnn's per-layer mxm, r5 profile)."""
     from scipy import sparse
 
     out_dtype = np.dtype(out_dtype)
@@ -190,12 +216,23 @@ def spgemm(ra, ca, va, rb, cb, vb, semiring, out_dtype):
                    and not mul.positional and mul.op in _SCIPY_MULS
                    and out_dtype.kind in "fiu")
 
-    (ur, ri), (uk, ka, kb), (uc, ci) = _relabel(ra, ca, rb, cb)
+    # identity "relabel" pays an O(dim) scipy indptr per operand, so it
+    # needs dims both int32-safe AND comparable to nnz (hypersparse
+    # 2^60-dim matrices still relabel)
+    nnz_ab = len(ra) + len(rb)
+    if dims is not None and max(dims) < (1 << 31) \
+            and max(dims) <= max(1 << 22, 8 * nnz_ab):
+        ur = uk = uc = None
+        ri, ka, kb, ci = ra, ca, rb, cb
+        sm, sk, sn = dims
+    else:
+        (ur, ri), (uk, ka, kb), (uc, ci) = _relabel(ra, ca, rb, cb)
+        sm, sk, sn = len(ur), len(uk), len(uc)
     cnt_dt = np.int64
     Ac = sparse.csr_matrix((np.ones(len(ra), cnt_dt), (ri, ka)),
-                           shape=(len(ur), len(uk)))
+                           shape=(sm, sk))
     Bc = sparse.csr_matrix((np.ones(len(rb), cnt_dt), (kb, ci)),
-                           shape=(len(uk), len(uc)))
+                           shape=(sk, sn))
     P = Ac @ Bc
     P.sort_indices()
     P = P.tocoo()
@@ -212,9 +249,9 @@ def spgemm(ra, ca, va, rb, cb, vb, semiring, out_dtype):
             vals = P.data.astype(out_dtype)  # the counts themselves
         else:
             An = sparse.csr_matrix((av, (ri, ka)),
-                                   shape=(len(ur), len(uk)))
+                                   shape=(sm, sk))
             Bn = sparse.csr_matrix((bv, (kb, ci)),
-                                   shape=(len(uk), len(uc)))
+                                   shape=(sk, sn))
             Q = An @ Bn
             Q.sort_indices()
             Q = Q.tocoo()
@@ -228,6 +265,8 @@ def spgemm(ra, ca, va, rb, cb, vb, semiring, out_dtype):
                 vals[hit] = Q.data.astype(out_dtype)
         burble("unmasked spgemm (scipy %s_%s): %d x %d -> %d nnz",
                add.op, mul.op, len(ra), len(rb), len(pr))
+        if ur is None:
+            return pr, pc, vals
         return ur[pr], uc[pc], vals
 
     # general semiring: numeric fill = masked SpGEMM with the symbolic
@@ -235,7 +274,7 @@ def spgemm(ra, ca, va, rb, cb, vb, semiring, out_dtype):
     from .spgemm import masked_spgemm
     from .coosparse import build
 
-    out_r, out_c = ur[pr], uc[pc]
+    out_r, out_c = (pr, pc) if ur is None else (ur[pr], uc[pc])
     bt_r, bt_c, bt_v = build(cb, rb, vb, vb.dtype)   # B transposed
     burble("unmasked spgemm (generic %s_%s): pattern %d entries",
            add.op, mul.op, len(out_r))

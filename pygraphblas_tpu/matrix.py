@@ -565,8 +565,21 @@ class Matrix:
         if not self._pending:
             return
         if self._fmt == "iso":
-            raise InsufficientSpace(
-                "iso matrix too large to modify; copy to a sized matrix")
+            # a written iso matrix is no longer iso (reference
+            # matrix.py:250-258): decay to COO when enumerable
+            if self._nrows * self._ncols > (1 << 27):
+                raise InsufficientSpace(
+                    "iso matrix too large to modify; copy to a sized "
+                    "matrix")
+            r = np.repeat(np.arange(self._nrows, dtype=np.int64),
+                          self._ncols)
+            c = np.tile(np.arange(self._ncols, dtype=np.int64),
+                        self._nrows)
+            self._fmt = "coo"
+            self._rows_h, self._cols_h = r, c
+            self._vals_h = np.full(r.size, self._iso_v,
+                                   self.type._numpy_t)
+            self._iso_v = None
         pend = self._pending
         self._pending = []
         I = np.asarray([p[0] for p in pend], np.int64)
@@ -2328,7 +2341,11 @@ class Matrix:
             r, c, v = gk.masked_spgemm(ra, ca, va, bt_r, bt_c, bt_v,
                                        mr, mc, semiring, zt)
         else:
-            r, c, v = gus.spgemm(ra, ca, va, rb, cb, vb, semiring, zt)
+            m_eff = self._ncols if desc.inp0 else self._nrows
+            k_eff = self._nrows if desc.inp0 else self._ncols
+            n_eff = other._nrows if desc.inp1 else other._ncols
+            r, c, v = gus.spgemm(ra, ca, va, rb, cb, vb, semiring, zt,
+                                 dims=(m_eff, k_eff, n_eff))
         return self._coo_writeback(out, r, c,
                                    v.astype(out.type._numpy_t),
                                    mask, accum, desc)

@@ -23,23 +23,36 @@ import test_vector as _vector
 # introspection), meaningless under forced COO
 _SKIP = {
     "test_sparsity_status",
+    # pins physical-format introspection; meaningless under forced COO
+    "test_sparsity_knobs",
 }
 
 
 def _wrap(fn, name, vectors_too):
-    def _run(*args, _fn=fn):
+    def _run(*args, _fn=fn, **kwargs):
         old_m = config.bitmap_max_cells
         old_v = config.vector_max_cells
         config.bitmap_max_cells = 1
         if vectors_too:
             config.vector_max_cells = 1
         try:
-            _fn(*args)
+            _fn(*args, **kwargs)
         finally:
             config.bitmap_max_cells = old_m
             config.vector_max_cells = old_v
 
-    if "tmp_path" in inspect.signature(fn).parameters:
+    params = inspect.signature(fn).parameters
+    if hasattr(fn, "pytestmark"):
+        # parametrized source test: re-expose the same signature and
+        # marks so pytest supplies the cases
+        import functools
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            _run(*args, **kwargs)
+        wrapper.__name__ = name
+        return wrapper
+    if "tmp_path" in params:
         def wrapper(tmp_path):
             _run(tmp_path)
     else:
