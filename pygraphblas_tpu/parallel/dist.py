@@ -225,6 +225,63 @@ def make_mesh(n_devices=None, axis_names=("i", "j")):
     return Mesh(np.array(devs).reshape(pi, pj), axis_names)
 
 
+def frontier_all_to_all(mesh, idx, val, dest, cap):
+    """Explicit hypersparse frontier packet exchange (SURVEY §2.3).
+
+    Each device owns up to `cap` frontier packets — (global index,
+    value) pairs — each labeled with a destination device (`dest`; -1
+    marks an empty slot).  ONE `lax.all_to_all` routes every packet to
+    its owner: packets are locally bucketed by destination (sort +
+    rank-within-group, no host round trip), placed into per-destination
+    slots of K = cap // P capacity, and exchanged.  Returns per-device
+    (P, K) received (idx, val) with idx == -1 in empty slots.
+
+    The exchange is a single async-scheduled collective: XLA's
+    latency-hiding scheduler overlaps it with unrelated local compute
+    (measured in perf/SCALING.json `measured_overlap`), which is the
+    double-buffering contract — issue the exchange for frontier t+1,
+    then compute on frontier t.
+
+    Packets beyond a destination's K slots are dropped (callers size
+    `cap` to the frontier bound); idx/val dtypes are preserved.
+    """
+    devs = mesh.devices.reshape(-1)
+    Pn = len(devs)
+    if cap % Pn:
+        raise ValueError("cap must be a multiple of the device count")
+    K = cap // Pn
+    ring = Mesh(devs, ("p",))
+
+    def local(idx, val, dest):
+        idx, val, dest = idx[0], val[0], dest[0]
+        d = jnp.where(dest < 0, Pn, dest).astype(jnp.int32)
+        order = jnp.argsort(d, stable=True)
+        ds = d[order]
+        ix = idx[order]
+        vs = val[order]
+        # rank within each destination group
+        starts = jnp.searchsorted(ds, jnp.arange(Pn + 1,
+                                                 dtype=jnp.int32))
+        within = (jnp.arange(cap, dtype=jnp.int32)
+                  - starts[jnp.minimum(ds, Pn)])
+        slot = ds * K + within
+        valid = jnp.logical_and(ds < Pn, within < K)
+        slot = jnp.where(valid, slot, Pn * K)  # OOB -> dropped
+        send_i = jnp.full((Pn * K,), -1, idx.dtype).at[slot].set(
+            ix, mode="drop")
+        send_v = jnp.zeros((Pn * K,), val.dtype).at[slot].set(
+            vs, mode="drop")
+        recv_i = jax.lax.all_to_all(send_i.reshape(Pn, K), "p", 0, 0)
+        recv_v = jax.lax.all_to_all(send_v.reshape(Pn, K), "p", 0, 0)
+        return recv_i.reshape(1, Pn, K), recv_v.reshape(1, Pn, K)
+
+    shmap = jax.shard_map(
+        local, mesh=ring,
+        in_specs=(P("p", None), P("p", None), P("p", None)),
+        out_specs=(P("p", None, None), P("p", None, None)))
+    return shmap(idx, val, dest)
+
+
 def _cdiv(a, b):
     return -(-a // b)
 

@@ -122,3 +122,42 @@ def test_dist_vector_apply_reduce_eadd():
     assert a.apply(lambda z: z * 10).reduce("PLUS") == 300
     assert b.reduce("MAX") == 4
     assert a.reduce("BOR") == 3
+
+
+def test_frontier_all_to_all_routes_packets():
+    """Explicit hypersparse frontier exchange (SURVEY §2.3): every
+    (index, value) packet arrives at its destination device exactly
+    once."""
+    import jax
+    import jax.numpy as jnp
+    from pygraphblas_tpu.parallel.dist import frontier_all_to_all
+
+    mesh = make_mesh(8)
+    Pn, cap = 8, 64
+    rng = np.random.RandomState(5)
+    idx = rng.randint(0, 10000, (Pn, cap)).astype(np.int64)
+    val = rng.rand(Pn, cap).astype(np.float32)
+    dest = rng.randint(0, Pn, (Pn, cap)).astype(np.int32)
+    # empty some slots
+    empty = rng.rand(Pn, cap) < 0.3
+    dest[empty] = -1
+    # keep per-(src,dest) counts under K so nothing is dropped
+    K = cap // Pn
+    for s in range(Pn):
+        for d in range(Pn):
+            sel = np.nonzero(dest[s] == d)[0]
+            dest[s, sel[K:]] = -1
+
+    ri, rv = frontier_all_to_all(mesh, jnp.asarray(idx),
+                                 jnp.asarray(val), jnp.asarray(dest),
+                                 cap)
+    ri, rv = np.asarray(ri), np.asarray(rv)
+    assert ri.shape == (Pn, Pn, K)
+    for d in range(Pn):
+        got = sorted((int(i), round(float(v), 5))
+                     for i, v in zip(ri[d].ravel(), rv[d].ravel())
+                     if i >= 0)
+        want = sorted((int(idx[s, j]), round(float(val[s, j]), 5))
+                      for s in range(Pn)
+                      for j in np.nonzero(dest[s] == d)[0])
+        assert got == want, d
