@@ -176,6 +176,13 @@ def pattern(ra, ca, rb, cb):
 
 _SCIPY_MULS = ("TIMES", "FIRST", "SECOND", "PAIR")
 
+_NP_DIAG_MULS = {
+    "TIMES": np.multiply, "PLUS": np.add, "MINUS": np.subtract,
+    "DIV": np.divide, "MIN": np.minimum, "MAX": np.maximum,
+    "FIRST": lambda a, d: a, "SECOND": lambda a, d: d,
+    "PAIR": lambda a, d: np.ones_like(a),
+}
+
 
 def spgemm(ra, ca, va, rb, cb, vb, semiring, out_dtype, dims=None):
     """C = A (+.x) B, unmasked, canonical COO in, canonical COO out.
@@ -199,6 +206,30 @@ def spgemm(ra, ca, va, rb, cb, vb, semiring, out_dtype, dims=None):
         return e, e.copy(), np.empty(0, out_dtype)
 
     engine = config.spgemm_engine
+
+    # diagonal-B fast path: C = A with values mul(a_ij, d_j) on the
+    # columns where the diagonal is present — O(nnz) elementwise, no
+    # symbolic phase (the hyperdnn bias mxm is exactly this shape; the
+    # generic path materialized (E, width) buffers against it)
+    mul0 = semiring.mul_op
+    if (len(rb) and not mul0.positional
+            and bool(np.all(rb == cb))):
+        pos = np.searchsorted(rb, ca)
+        pos_c = np.minimum(pos, len(rb) - 1)
+        hit = rb[pos_c] == ca
+        rr, cc = ra[hit], ca[hit]
+        av = va[hit]
+        dv = vb[pos_c[hit]]
+        if mul0.builtin and mul0.op in _NP_DIAG_MULS:
+            vals = _NP_DIAG_MULS[mul0.op](
+                av.astype(out_dtype), dv.astype(out_dtype))
+        else:
+            vals = np.asarray(mul0.apply(
+                jnp.asarray(av.astype(out_dtype)),
+                jnp.asarray(dv.astype(out_dtype))))
+        burble("unmasked spgemm (diag-B fast path): %d nnz", len(rr))
+        return rr, cc, vals.astype(out_dtype)
+
     if engine in ("auto", "dense"):
         res = dense_spgemm(ra, ca, va, rb, cb, vb, semiring, out_dtype)
         if res is not None:

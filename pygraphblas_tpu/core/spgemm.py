@@ -447,6 +447,28 @@ def _all_bucket_counts(a_cols2, b_cols2, ast_all, wa_all, bst_all,
     return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
 
+@partial(jax.jit, static_argnames=("spec",))
+def _all_bucket_counts_tab(a_cols2, b_cols2, lrp, lcp, st_a, dg_a,
+                           st_b, dg_b, spec):
+    """Table variant of `_all_bucket_counts`: uploads the PERMUTED mask
+    ids (2 arrays) plus the dense per-row (start, degree) tables, and
+    derives each bucket's (a_st, wa, b_st, wb) with device gathers —
+    ~45% fewer bytes over the 46 MB/s tunnel than the 4 scalar
+    arrays.  Usable when both row-id spaces fit a dense table."""
+    ast_all = jnp.take(st_a, lrp)
+    wa_all = jnp.take(dg_a, lrp)
+    bst_all = jnp.take(st_b, lcp)
+    wb_all = jnp.take(dg_b, lcp)
+    outs = []
+    for (off, width, step, nchunks) in spec:
+        npad = step * nchunks
+        sl = slice(off, off + npad)
+        outs.append(_bucket_counts_one(
+            a_cols2, b_cols2, ast_all[sl], wa_all[sl], bst_all[sl],
+            wb_all[sl], width, step, nchunks))
+    return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+
+
 @partial(jax.jit, static_argnames=("semiring", "out_dtype", "width",
                                    "narrow"))
 def _bucket_build_intersect(a_cols, a_vals, b_cols, b_vals, a_st, wa,
@@ -713,48 +735,85 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
             pair_sels.append((sel, npad))
             pair_spec.append((int(w), int(step), int(nchunks)))
             continue
-        e_p2 = _pow2_len(len(sel), 8)
+        # chunk so the (E, width) expansion stays bounded: a 4M-edge
+        # width-2048 bucket would otherwise materialize ~200 GB
+        # (hyperdnn bias mxm OOM, r5)
+        chunk = max(8, _pow2_len((1 << 24) // max(int(w), 1), 8))
+        for lo in range(0, len(sel), chunk):
+            selc = sel[lo:lo + chunk]
+            e_p2 = _pow2_len(len(selc), 8)
 
-        def _pad32(arr, fill=0):
-            o = np.full(e_p2, fill, np.int32)
-            o[:len(sel)] = arr
-            return jnp.asarray(o)
+            def _pad32(arr, fill=0):
+                o = np.full(e_p2, fill, np.int32)
+                o[:len(selc)] = arr
+                return jnp.asarray(o)
 
-        def _pad64(arr):
-            o = np.zeros(e_p2, np.int64)
-            o[:len(sel)] = arr
-            return jnp.asarray(o)
+            def _pad64(arr):
+                o = np.zeros(e_p2, np.int64)
+                o[:len(selc)] = arr
+                return jnp.asarray(o)
 
-        a_cols_d, a_vals_d, b_cols_d, b_vals_d = _generic_operands()
-        c, cnt = _bucket_build_intersect(
-            a_cols_d, a_vals_d, b_cols_d, b_vals_d,
-            _pad32(a_st[sel].astype(np.int32)),
-            _pad32(wa[sel].astype(np.int32)),
-            _pad32(b_st[sel].astype(np.int32)),
-            _pad32(wb[sel].astype(np.int32)),
-            _pad64(m_rows[sel]), _pad64(m_cols[sel]),
-            semiring, out_dtype, int(w), bool(narrow))
-        parts.append((sel, e_p2, c, cnt, False))
+            a_cols_d, a_vals_d, b_cols_d, b_vals_d = _generic_operands()
+            c, cnt = _bucket_build_intersect(
+                a_cols_d, a_vals_d, b_cols_d, b_vals_d,
+                _pad32(a_st[selc].astype(np.int32)),
+                _pad32(wa[selc].astype(np.int32)),
+                _pad32(b_st[selc].astype(np.int32)),
+                _pad32(wb[selc].astype(np.int32)),
+                _pad64(m_rows[selc]), _pad64(m_cols[selc]),
+                semiring, out_dtype, int(w), bool(narrow))
+            parts.append((selc, e_p2, c, cnt, False))
 
     if pair_spec:
-        # concatenate every bucket's scalar arrays into 4 uploads
         total_pad = sum(npad for _, npad in pair_sels)
-        ast_all = np.zeros(total_pad, np.int32)
-        wa_all = np.zeros(total_pad, np.int32)
-        bst_all = np.zeros(total_pad, np.int32)
-        wb_all = np.zeros(total_pad, np.int32)
+        hi_a = (int(ua[-1]) + 1) if len(ua) else 1
+        hi_b = (int(ub[-1]) + 1) if len(ub) else 1
+        use_tab = (hi_a <= (1 << 20) and hi_b <= (1 << 20)
+                   and 16 * (hi_a + hi_b) < 8 * total_pad)
         spec2 = []
         off = 0
-        for (sel, npad), (w, step, nchunks) in zip(pair_sels, pair_spec):
-            ast_all[off:off + len(sel)] = a_st[sel]
-            wa_all[off:off + len(sel)] = wa[sel]
-            bst_all[off:off + len(sel)] = b_st[sel]
-            wb_all[off:off + len(sel)] = wb[sel]
-            spec2.append((off, w, step, nchunks))
-            off += npad
-        cnt_all_pair = _all_bucket_counts(
-            a_cols2, b_cols2, jnp.asarray(ast_all), jnp.asarray(wa_all),
-            jnp.asarray(bst_all), jnp.asarray(wb_all), tuple(spec2))
+        if use_tab:
+            # pre-permuted mask ids + dense row tables: ~half the
+            # upload bytes of the 4 scalar arrays
+            lrp = np.full(total_pad, hi_a, np.int32)  # pad id -> (0,0)
+            lcp = np.full(total_pad, hi_b, np.int32)
+            for (sel, npad), (w, step, nchunks) in zip(pair_sels,
+                                                       pair_spec):
+                lrp[off:off + len(sel)] = m_rows[sel]
+                lcp[off:off + len(sel)] = m_cols[sel]
+                spec2.append((off, w, step, nchunks))
+                off += npad
+
+            def _tab(hi, u, s, d):
+                st = np.zeros(hi + 1, np.int32)
+                dg = np.zeros(hi + 1, np.int32)
+                st[u] = s
+                dg[u] = d
+                return jnp.asarray(st), jnp.asarray(dg)
+
+            st_a, dg_a = _tab(hi_a, ua, sa, da)
+            st_b, dg_b = _tab(hi_b, ub, sb, db)
+            cnt_all_pair = _all_bucket_counts_tab(
+                a_cols2, b_cols2, jnp.asarray(lrp), jnp.asarray(lcp),
+                st_a, dg_a, st_b, dg_b, tuple(spec2))
+        else:
+            # concatenate every bucket's scalar arrays into 4 uploads
+            ast_all = np.zeros(total_pad, np.int32)
+            wa_all = np.zeros(total_pad, np.int32)
+            bst_all = np.zeros(total_pad, np.int32)
+            wb_all = np.zeros(total_pad, np.int32)
+            for (sel, npad), (w, step, nchunks) in zip(pair_sels,
+                                                       pair_spec):
+                ast_all[off:off + len(sel)] = a_st[sel]
+                wa_all[off:off + len(sel)] = wa[sel]
+                bst_all[off:off + len(sel)] = b_st[sel]
+                wb_all[off:off + len(sel)] = wb[sel]
+                spec2.append((off, w, step, nchunks))
+                off += npad
+            cnt_all_pair = _all_bucket_counts(
+                a_cols2, b_cols2, jnp.asarray(ast_all),
+                jnp.asarray(wa_all), jnp.asarray(bst_all),
+                jnp.asarray(wb_all), tuple(spec2))
         off = 0
         for (sel, npad) in pair_sels:
             parts.append((sel, npad, None,
