@@ -206,10 +206,16 @@ if __name__ == "__main__":
     p.add_argument("--fullscale", action="store_true",
                    help="official-size hermetic run with oracle")
     p.add_argument("--nimages", type=int, default=NFEATURES)
+    p.add_argument("--engine", default="dnn", choices=("dnn", "hyperdnn"),
+                   help="per-layer container path, or the whole-net "
+                        "hypersparse block matrix with the fused "
+                        "user-JIT ReLU semiring (verified at "
+                        "1024x120x4000: categories match the oracle)")
     args = p.parse_args()
     if args.ndir:
         run_challenge(args.ndir, args.nneurons, args.nlayers)
     elif args.fullscale:
-        run_fullscale(args.nneurons, args.nlayers, args.nimages)
+        run_fullscale(args.nneurons, args.nlayers, args.nimages,
+                      engine=args.engine)
     else:
         run_synthetic()
