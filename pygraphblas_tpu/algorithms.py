@@ -222,13 +222,13 @@ def triangle_count(A, method="sandia", order_by_degree=True):
             r, c = rank[r], rank[c]
         keep = r > c
         lr, lc = r[keep], c[keep]
-        order = _np.lexsort((lc, lr))          # canonical row-major L
-        lr, lc = lr[order], lc[order]
-        ordT = _np.lexsort((lr, lc))           # col-major = rows of L^T
-        btr, btc = lc[ordT], lr[ordT]
         ones = _np.ones(len(lr), _np.int64)
         from .core import spgemm as gk
+        from .core.coosparse import build as _cbuild
 
+        # native radix sorts (fastio) beat np.lexsort ~2-3x here
+        lr, lc, ones = _cbuild(lr, lc, ones, _np.int64)
+        btr, btc, _ = _cbuild(lc, lr, ones, _np.int64)
         _, _, vv = gk.masked_spgemm(lr, lc, ones, btr, btc, ones,
                                     lr, lc, sr, _np.int64)
         return int(vv.sum())
@@ -308,13 +308,15 @@ def k_truss(A, k):
     r, c, _ = A._coo()
     r = _np.asarray(r, _np.int64)
     c = _np.asarray(c, _np.int64)
+    from .core.coosparse import build as _cbuild
+
     support = _np.zeros(len(r), _np.int64)
     nvals_last = -1
     while True:
-        ordT = _np.lexsort((r, c))
+        ones = _np.ones(len(r), _np.int64)
+        btr, btc, _ = _cbuild(c, r, ones, _np.int64)
         cnt_r, cnt_c, support = gk.masked_spgemm(
-            r, c, _np.ones(len(r), _np.int64),
-            c[ordT], r[ordT], _np.ones(len(r), _np.int64),
+            r, c, ones, btr, btc, ones,
             r, c, types.INT64.plus_pair, _np.int64)
         # masked_spgemm drops zero-support edges; prune below k-2
         keep = support >= (k - 2)
