@@ -16,7 +16,10 @@ echo "== pytest (includes doctest corpus + demo gallery) =="
 python -m pytest tests/ -q "$@"
 
 echo "== multichip dryrun (8 virtual devices) =="
-JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-python -c "import __graft_entry__ as g; g.dryrun_multichip(8); print('dryrun ok')"
+# jax.config (not the env var): some environments prepend their own
+# platform to JAX_PLATFORMS, which would grab the session
+XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+python -c "import jax; jax.config.update('jax_platforms', 'cpu'); \
+import __graft_entry__ as g; g.dryrun_multichip(8); print('dryrun ok')"
 
 echo "CI OK"

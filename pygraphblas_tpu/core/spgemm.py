@@ -171,6 +171,8 @@ def _pallas_fill_keys(a_cols2, b_cols2, a_st, wa, b_st, wb, width):
                      [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
             out_specs=pl.BlockSpec((R, width), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 << 20),
         )(a_st, wa, b_st, wb, a_cols2, b_cols2)
 
 
@@ -343,6 +345,10 @@ def _pallas_fill_merge_count(a_cols2, b_cols2, a_st, wa, b_st, wb,
             out_specs=pl.BlockSpec((R, 1), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((R, width), jnp.int32)],
+            # 2x24MB resident operands + scratch exceed the default
+            # 16MB scoped budget
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 << 20),
         )(a_st, wa, b_st, wb, a_cols2, b_cols2)
     return out[:, 0]
 
@@ -684,8 +690,12 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
     pair_fast = (narrow and not mul0.positional and mul0.builtin
                  and mul0.op == "PAIR"
                  and (add_is_plus or add_is_one)
-                 and (len(a_cols) + 256) * 4 <= (5 << 20)
-                 and (len(bt_cols) + 256) * 4 <= (5 << 20)
+                 # both column arrays stay VMEM-resident in the fused
+                 # kernel: 24MB each (+ scratch + slabs) fits v5e's
+                 # 128MB VMEM; kron-18-scale graphs now take the fast
+                 # path instead of the XLA-gather generic buckets
+                 and (len(a_cols) + 2560) * 4 <= (24 << 20)
+                 and (len(bt_cols) + 2560) * 4 <= (24 << 20)
                  and jax.default_backend() == "tpu")
     if pair_fast:
         def _as2d(cols):
