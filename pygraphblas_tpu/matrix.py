@@ -933,7 +933,26 @@ class Matrix:
 
     @sparsity.setter
     def sparsity(self, sparsity):
+        """Setting the control CONVERTS storage (SuiteSparse semantics:
+        the knob constrains the physical format, it is not advisory):
+        1|2 moves a bitmap matrix to sorted-COO; 4|8 moves COO to
+        bitmap when the dense budget allows."""
         self._sparsity = int(sparsity)
+        self._flush()
+        wants_sparse = not (self._sparsity & 12)  # no bitmap/full bits
+        wants_dense = not (self._sparsity & 3)    # no hyper/sparse bits
+        if wants_sparse and self._fmt == "bitmap":
+            r, c, v = self._coo()
+            self._fmt = "coo"
+            self._vals = self._mask = None
+            self._rows_h, self._cols_h = r, c
+            self._vals_h = v
+            self._invalidate()
+        elif wants_dense and self._fmt == "coo" \
+                and self._fits_bitmap(self._nrows, self._ncols,
+                                      self.type):
+            v, m = self._dense_pair()
+            self._set_dense(v, m)
 
     @property
     def sparsity_status(self):

@@ -605,7 +605,23 @@ class Vector:
 
     @sparsity.setter
     def sparsity(self, sparsity):
+        """Setting the control CONVERTS storage (cf. Matrix.sparsity):
+        1|2 moves bitmap to sorted-COO; 4|8 moves COO to bitmap when
+        the dense budget allows."""
         self._sparsity = int(sparsity)
+        self._flush()
+        wants_sparse = not (self._sparsity & 12)
+        wants_dense = not (self._sparsity & 3)
+        if wants_sparse and self._fmt == "bitmap":
+            i, v = self._coo()
+            self._fmt = "coo"
+            self._vals = self._mask = None
+            self._idx_h, self._vals_h = i, v
+            self._invalidate()
+        elif wants_dense and self._fmt == "coo" \
+                and self._fits_bitmap(self._size, self.type):
+            v, m = self._dense_pair()
+            self._set_dense(v, m)
 
     @property
     def sparsity_status(self):

@@ -23,8 +23,9 @@ import test_vector as _vector
 # introspection), meaningless under forced COO
 _SKIP = {
     "test_sparsity_status",
-    # pins physical-format introspection; meaningless under forced COO
+    # pin physical-format introspection; meaningless under forced COO
     "test_sparsity_knobs",
+    "test_sparsity_control_converts_storage",
 }
 
 

@@ -399,3 +399,14 @@ def test_indexing_error_paths():
         Vector.from_lists([0], [1], 4).extract_element(2)
     with pytest.raises(TypeError):
         v[object()]
+
+
+def test_sparsity_control_converts_storage():
+    v = Vector.from_lists([0, 2], [7, 9], 5)
+    assert v.sparsity_status == 4
+    v.sparsity = 1
+    assert v._fmt == "coo" and v.sparsity_status == 1
+    assert v[2] == 9 and v.nvals == 2
+    v.sparsity = 8
+    assert v._fmt == "bitmap"
+    assert v[0] == 7 and v.nvals == 2
