@@ -48,7 +48,7 @@ import numpy as np  # noqa: E402
 
 # measured single-chip xspmv rate (BENCH_r04 headline, kron-20) and
 # v5e ICI: 4 links x ~45 GB/s usable per direction, ring topology.
-R_CHIP = 5.83e9          # nnz/s
+R_CHIP = 5.99e9          # nnz/s (BENCH_r05 headline)
 BW_ICI = 4.5e10          # bytes/s per device (one link direction)
 
 _DTYPE_BYTES = {
