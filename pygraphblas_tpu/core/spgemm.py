@@ -405,6 +405,230 @@ def _fill_chunk(a_cols2, b_cols2, a_st, wa, b_st, wb, lo, out_dtype,
                                  sl(b_st), sl(wb), out_dtype, width)
 
 
+def _pallas_fill_merge_fold(a_cols2, a_vals2, b_cols2, b_vals2, a_st,
+                            wa, b_st, wb, width, mulf, addf, ident,
+                            vdtype):
+    """VALUED fused pair-intersect: like `_pallas_fill_merge_count` but
+    each key carries its operand value through the bitonic merge
+    (compare-exchange selects applied to both), products mul(va, vb)
+    form at adjacent matches, and a log-roll fold with the add monoid
+    reduces each edge IN KERNEL.  Extends the fused path to every
+    builtin/user semiring over 4-byte types — general masked products
+    previously took the XLA-gather generic buckets (ESC roadmap:
+    'value payloads')."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    e_pad = a_st.shape[0]
+    nw = width // 128
+    sent = np.int32(1 << 30)
+    rows_a = a_cols2.shape[0]
+    rows_b = b_cols2.shape[0]
+    vdt = jnp.dtype(vdtype)
+
+    R = 8
+    for cand in (128, 64, 32, 16):
+        if e_pad % cand == 0 and cand * width * 8 <= (2 << 20):
+            R = cand
+            break
+
+    GW = min(nw, 8)
+    NG = nw // GW
+
+    def kern(ast_ref, wa_ref, bst_ref, wb_ref, ak_ref, av_ref, bk_ref,
+             bv_ref, oc_ref, ov_ref, sk, sv):
+        pid = pl.program_id(0).astype(jnp.int32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        lane_r = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+
+        def tile(t, _):
+            base_e = pid * R + t * 8
+            ast8, war8, bst8, wbr8 = [], [], [], []
+            for r in range(8):
+                e = base_e + r
+                ast8.append(ast_ref[e])
+                war8.append(wa_ref[e])
+                bst8.append(bst_ref[e])
+                wbr8.append(wb_ref[e])
+            war = jnp.stack(war8).reshape(8, 1)
+            wbr = jnp.stack(wbr8).reshape(8, 1)
+            sha = jnp.stack([a & 127 for a in ast8]).reshape(8, 1)
+            shb = jnp.stack([b & 127 for b in bst8]).reshape(8, 1)
+            idx_a = sha + lane
+            idx_b = shb + (127 - lane)
+
+            def group(g, _):
+                g = g.astype(jnp.int32)
+                lak, lav, lbk, lbv = [], [], [], []
+                for r in range(8):
+                    qa = jax.lax.clamp(0, (ast8[r] >> 7) + g * GW,
+                                       rows_a - (GW + 1))
+                    lak.append(ak_ref[pl.ds(qa, GW + 1), :])
+                    lav.append(av_ref[pl.ds(qa, GW + 1), :])
+                    qb = jax.lax.clamp(
+                        0, (bst8[r] >> 7) + (NG - 1 - g) * GW,
+                        rows_b - (GW + 1))
+                    lbk.append(bk_ref[pl.ds(qb, GW + 1), :])
+                    lbv.append(bv_ref[pl.ds(qb, GW + 1), :])
+
+                def pick(slabs, lo_row, idx):
+                    lo = jnp.concatenate(
+                        [slabs[r][lo_row:lo_row + 1, :]
+                         for r in range(8)], axis=0)
+                    hi = jnp.concatenate(
+                        [slabs[r][lo_row + 1:lo_row + 2, :]
+                         for r in range(8)], axis=0)
+                    i = idx & 127
+                    return jnp.where(
+                        idx < 128,
+                        jnp.take_along_axis(lo, i, axis=1),
+                        jnp.take_along_axis(hi, i, axis=1))
+
+                for wl in range(GW):
+                    bl = GW - wl - 1
+                    ka = pick(lak, wl, idx_a)
+                    va = pick(lav, wl, idx_a)
+                    kb = pick(lbk, bl, idx_b)
+                    vb = pick(lbv, bl, idx_b)
+                    p = (g * GW + wl) * 128 + lane
+                    in_a = p < war
+                    in_b = p >= width - wbr
+                    sk[pl.ds(t * 8, 8),
+                       pl.ds((g * GW + wl) * 128, 128)] = jnp.where(
+                        in_a, ka * 2,
+                        jnp.where(in_b, kb * 2 + 1, sent + 2 * p))
+                    sv[pl.ds(t * 8, 8),
+                       pl.ds((g * GW + wl) * 128, 128)] = jnp.where(
+                        in_a, va, jnp.where(in_b, vb,
+                                            jnp.asarray(ident, vdt)))
+                return 0
+
+            jax.lax.fori_loop(0, NG, group, 0)
+            return 0
+
+        with jax.enable_x64(False):
+            jax.lax.fori_loop(0, R // 8, tile, 0)
+
+            # phase B: inter-block compare-exchange, values follow keys
+            sblk = nw // 2
+            while sblk >= 1:
+                m = sblk - 1
+
+                def pair(pi, _):
+                    pi = pi.astype(jnp.int32)
+                    b = ((pi & ~m) << 1) | (pi & m)
+                    kx = sk[:, pl.ds(b * 128, 128)]
+                    ky = sk[:, pl.ds((b | sblk) * 128, 128)]
+                    vx = sv[:, pl.ds(b * 128, 128)]
+                    vy = sv[:, pl.ds((b | sblk) * 128, 128)]
+                    lo = kx <= ky
+                    sk[:, pl.ds(b * 128, 128)] = jnp.where(lo, kx, ky)
+                    sv[:, pl.ds(b * 128, 128)] = jnp.where(lo, vx, vy)
+                    sk[:, pl.ds((b | sblk) * 128, 128)] = \
+                        jnp.where(lo, ky, kx)
+                    sv[:, pl.ds((b | sblk) * 128, 128)] = \
+                        jnp.where(lo, vy, vx)
+                    return 0
+
+                jax.lax.fori_loop(0, nw // 2, pair, 0)
+                sblk //= 2
+
+            # phase C: per-block XOR-roll sort (keys unique, values
+            # carried by the same selects), match products, monoid fold
+            def roll(x, s):
+                return jnp.concatenate([x[:, s:], x[:, :s]], axis=1)
+
+            def rollb(x, s):
+                return jnp.concatenate([x[:, -s:], x[:, :-s]], axis=1)
+
+            def block(b, carry):
+                cnt, acc, pk, pv = carry
+                k = sk[:, pl.ds(b * 128, 128)]
+                v = sv[:, pl.ds(b * 128, 128)]
+                for s in (64, 32, 16, 8, 4, 2, 1):
+                    bit0 = (lane_r & s) == 0
+                    kp = jnp.where(bit0, roll(k, s), rollb(k, s))
+                    vp = jnp.where(bit0, roll(v, s), rollb(v, s))
+                    # keys are unique, so "partner wins" is (kp<k) on
+                    # bit-clear lanes and its negation on bit-set ones;
+                    # == avoids a bool-vector select (Mosaic can't
+                    # truncate i8->i1)
+                    take = (kp < k) == bit0
+                    k = jnp.where(take, kp, k)
+                    v = jnp.where(take, vp, v)
+                # adjacent matches incl. previous block's last element
+                kprev = jnp.concatenate([pk, k[:, :-1]], axis=1)
+                vprev = jnp.concatenate([pv, v[:, :-1]], axis=1)
+                match = (kprev >> 1) == (k >> 1)
+                prod = jnp.where(match, mulf(vprev, v),
+                                 jnp.asarray(ident, vdt))
+                cnt = cnt + jnp.sum(match.astype(jnp.int32), axis=1,
+                                    keepdims=True)
+                # log-roll fold of the 128 products with the monoid
+                x = prod
+                for s in (64, 32, 16, 8, 4, 2, 1):
+                    shifted = jnp.where(
+                        lane_r < 128 - s, roll(x, s),
+                        jnp.asarray(ident, vdt))
+                    x = addf(x, shifted)
+                acc = addf(acc, x[:, :1])
+                return cnt, acc, k[:, -1:], v[:, -1:]
+
+            cnt0 = jnp.zeros((R, 1), jnp.int32)
+            acc0 = jnp.full((R, 1), ident, vdt)
+            pk0 = jnp.full((R, 1), -1, jnp.int32)
+            pv0 = jnp.full((R, 1), ident, vdt)
+            cnt, acc, _, _ = jax.lax.fori_loop(
+                0, nw, block, (cnt0, acc0, pk0, pv0))
+            oc_ref[:, :] = cnt
+            ov_ref[:, :] = acc
+
+    with jax.enable_x64(False):
+        cnt, vals = pl.pallas_call(
+            kern,
+            out_shape=(jax.ShapeDtypeStruct((e_pad, 1), jnp.int32),
+                       jax.ShapeDtypeStruct((e_pad, 1), vdt)),
+            grid=(e_pad // R,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4 +
+                     [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_specs=(pl.BlockSpec((R, 1), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((R, 1), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)),
+            scratch_shapes=[pltpu.VMEM((R, width), jnp.int32),
+                            pltpu.VMEM((R, width), vdt)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 << 20),
+        )(a_st, wa, b_st, wb, a_cols2, a_vals2, b_cols2, b_vals2)
+    return cnt[:, 0], vals[:, 0]
+
+
+@partial(jax.jit, static_argnames=("semiring", "vdtype", "width",
+                                   "step", "nchunks"))
+def _fill_fold_bucket(a_cols2, a_vals2, b_cols2, b_vals2, a_st, wa,
+                      b_st, wb, semiring, vdtype, width, step, nchunks):
+    """One width bucket of the VALUED fused path: lax.scan over chunks
+    of `_pallas_fill_merge_fold`."""
+    vdt = np.dtype(vdtype)
+    mulf = semiring.mul_op.apply
+    addf = semiring.add_monoid.binaryop.apply
+    ident = semiring.add_monoid.identity(vdt)
+
+    def body(carry, lo):
+        sl = lambda x: jax.lax.dynamic_slice(x, (lo,), (step,))
+        cnt, vals = _pallas_fill_merge_fold(
+            a_cols2, a_vals2, b_cols2, b_vals2, sl(a_st), sl(wa),
+            sl(b_st), sl(wb), width, mulf, addf, ident, vdt)
+        return carry, (cnt, vals)
+
+    if nchunks == 1:
+        _, (cnt, vals) = body(0, jnp.int32(0))
+        return cnt, vals
+    _, (cnts, vals) = jax.lax.scan(
+        body, 0, jnp.arange(nchunks, dtype=jnp.int32) * step)
+    return cnts.reshape(-1), vals.reshape(-1)
+
+
 def _bucket_counts_one(a_cols2, b_cols2, a_st, wa, b_st, wb, width,
                        step, nchunks):
     """One width bucket: lax.scan over its chunks (each fused
@@ -697,13 +921,22 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
                  and (len(a_cols) + 2560) * 4 <= (24 << 20)
                  and (len(bt_cols) + 2560) * 4 <= (24 << 20)
                  and jax.default_backend() == "tpu")
-    if pair_fast:
-        def _as2d(cols):
+    # VALUED fused path: any non-positional semiring whose mul/add
+    # trace over 4-byte int/float arrays (builtin or user-defined);
+    # value slabs double the VMEM residency, so half the size cap
+    val_fast = (not pair_fast and narrow and not mul0.positional
+                and mul0.udt is None
+                and np.dtype(out_dtype).kind in "fi"
+                and (len(a_cols) + 2560) * 8 <= (24 << 20)
+                and (len(bt_cols) + 2560) * 8 <= (24 << 20)
+                and jax.default_backend() == "tpu"
+                and _os.environ.get("PYGB_VAL_FUSED", "1") != "0")
+    if pair_fast or val_fast:
+        def _as2d(cols, dt=np.int32):
             # +10 rows of tail padding: the fused kernel's slab loads
             # read up to GW+1=9 rows past a segment's last window
-            ar = np.zeros((-(-(len(cols) + 1280) // 128)) * 128,
-                          np.int32)
-            ar[:len(cols)] = cols.astype(np.int32)
+            ar = np.zeros((-(-(len(cols) + 1280) // 128)) * 128, dt)
+            ar[:len(cols)] = cols.astype(dt)
             return jnp.asarray(ar.reshape(-1, 128))
         a_cols2 = _as2d(a_cols if len(a_cols) else np.zeros(1, np.int64))
         b_cols2 = _as2d(bt_cols if len(bt_cols) else np.zeros(1, np.int64))
@@ -713,6 +946,13 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
         # than the XLA-gather generic bucket they otherwise take (the
         # dominant warm cost of TC/k-truss, r5 profile)
         widths = np.maximum(widths, 128)
+    if val_fast:
+        vdt = np.dtype(np.float32 if np.dtype(out_dtype).kind == "f"
+                       else np.int32)
+        a_vals2 = _as2d(a_vals if len(a_vals) else np.zeros(1, vdt),
+                        vdt)
+        b_vals2 = _as2d(bt_vals if len(bt_vals) else np.zeros(1, vdt),
+                        vdt)
 
     def _pow2_len(n, quantum):
         return max(quantum, _next_pow2(n))
@@ -744,6 +984,25 @@ def masked_spgemm(a_rows, a_cols, a_vals, bt_rows, bt_cols, bt_vals,
 
             pair_sels.append((sel, npad))
             pair_spec.append((int(w), int(step), int(nchunks)))
+            continue
+        if val_fast and w >= 128:
+            step = min(32768, max(8, (1 << 21) // int(w)) * 8)
+            nchunks = _next_pow2(-(-len(sel) // step))
+            npad = nchunks * step
+
+            def _vbpad(arr):
+                o = np.zeros(npad, np.int32)
+                o[:len(sel)] = arr
+                return jnp.asarray(o)
+
+            cnt, vals = _fill_fold_bucket(
+                a_cols2, a_vals2, b_cols2, b_vals2,
+                _vbpad(a_st[sel].astype(np.int32)),
+                _vbpad(wa[sel].astype(np.int32)),
+                _vbpad(b_st[sel].astype(np.int32)),
+                _vbpad(wb[sel].astype(np.int32)),
+                semiring, vdt.str, int(w), int(step), int(nchunks))
+            parts.append((sel, npad, vals, cnt, False))
             continue
         # chunk so the (E, width) expansion stays bounded: a 4M-edge
         # width-2048 bucket would otherwise materialize ~200 GB
