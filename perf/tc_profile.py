@@ -62,7 +62,6 @@ def main():
     print(f"kron-{scale}: n={n} nnz={len(rows)}", flush=True)
     A = to_matrix(rows, cols, n, types.INT64)
 
-    sg._fill_chunk = wrap("fill_chunk", sg._fill_chunk)
     sg._bucket_build_intersect = wrap("bucket_generic",
                                       sg._bucket_build_intersect)
     orig_spgemm = sg.masked_spgemm

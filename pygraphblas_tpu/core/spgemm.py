@@ -385,26 +385,6 @@ def _fill_sort_count_body(a_cols2, b_cols2, a_st, wa, b_st, wb,
     return c, cnt
 
 
-@partial(jax.jit, static_argnames=("out_dtype", "width"))
-def _bucket_fill_sort_count(a_cols2, b_cols2, a_st, wa, b_st, wb,
-                            out_dtype, width):
-    return _fill_sort_count_body(a_cols2, b_cols2, a_st, wa, b_st, wb,
-                                 out_dtype, width)
-
-
-@partial(jax.jit, static_argnames=("out_dtype", "width", "step"))
-def _fill_chunk(a_cols2, b_cols2, a_st, wa, b_st, wb, lo, out_dtype,
-                width, step):
-    """One `step`-edge chunk of a width bucket, sliced ON DEVICE from
-    the whole-bucket scalar arrays: `lo` is a traced argument, so every
-    chunk of every bucket (and every k-truss iteration) reuses the one
-    (step, width) executable, and the host uploads 4 arrays per bucket
-    instead of 4 per chunk."""
-    sl = lambda x: jax.lax.dynamic_slice(x, (lo,), (step,))
-    return _fill_sort_count_body(a_cols2, b_cols2, sl(a_st), sl(wa),
-                                 sl(b_st), sl(wb), out_dtype, width)
-
-
 def _pallas_fill_merge_fold(a_cols2, a_vals2, b_cols2, b_vals2, a_st,
                             wa, b_st, wb, width, mulf, addf, ident,
                             vdtype):
